@@ -1,0 +1,195 @@
+"""KV caches: contiguous per-slot and paged (block-table) variants.
+
+TPU-native replacement for the reference's KV machinery:
+
+* the reference's singly linked list of UVM pages, pointer-chased per key
+  token inside the attention kernel (reference: layers/src/iengine.cu:73-109,
+  layers/src/self_attension.cu:47-60) becomes a **preallocated page pool
+  array** ``[L, num_pages, page_size, Hk, D]`` addressed through an int32
+  block table — static shapes, scatter/gather instead of pointer chasing;
+* its host-side ``cudaMemcpy2D`` prefill fill and per-token decode appends
+  (layers/src/include_cuda.cu:165-279) become in-jit
+  ``dynamic_update_slice`` / scatter writes — zero host round-trips;
+* page co-location of all layers per token (include_cuda.cu:264-265) is
+  deliberately NOT kept: on TPU the layer axis is the ``lax.scan`` axis and
+  per-layer page slabs give contiguous lane-aligned reads.
+
+The contiguous cache ``[L, B, S, Hk, D]`` is the fast path for fixed-batch
+decode (baseline configs 1-2); the paged cache enables continuous batching
+and long contexts (configs 3-4). Layer slices (leading ``L`` axis) are
+scanned over inside the jitted step, so all functions here operate on a
+single layer's slice.
+
+Optional INT8 KV quantization (per-token-per-head scales) lives in
+quant/kv_quant.py and wraps these writes/reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KVCache:
+    """Contiguous cache: k/v ``[L, B, S, Hk, D]``.
+
+    k_scale/v_scale: ``[L, B, S, Hk]`` fp32 per-token-per-head scales when
+    the cache dtype is int8, else None.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @staticmethod
+    def create(
+        num_layers: int,
+        batch: int,
+        max_seq: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (num_layers, batch, max_seq, num_kv_heads, head_dim)
+        quant = dtype == jnp.int8
+        return KVCache(
+            k=jnp.zeros(shape, dtype=dtype),
+            v=jnp.zeros(shape, dtype=dtype),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            v_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k_pages", "v_pages", "k_scale", "v_scale"],
+    meta_fields=["page_size"],
+)
+@dataclasses.dataclass
+class PagedKVCache:
+    """Paged cache: k/v pages ``[L, num_pages, page_size, Hk, D]``.
+
+    Block tables (``[slots, max_pages_per_seq]`` int32 page ids) and
+    sequence lengths are scheduler state (engine/scheduler.py), not stored
+    here — pages are a global pool shared by all sequences, the TPU
+    equivalent of the reference's page free list.
+    """
+
+    k_pages: jax.Array
+    v_pages: jax.Array
+    k_scale: Optional[jax.Array]  # [L, num_pages, page_size, Hk] fp32
+    v_scale: Optional[jax.Array]
+    page_size: int
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @staticmethod
+    def create(
+        num_layers: int,
+        num_pages: int,
+        page_size: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (num_layers, num_pages, page_size, num_kv_heads, head_dim)
+        quant = dtype == jnp.int8
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, dtype=dtype),
+            v_pages=jnp.zeros(shape, dtype=dtype),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            v_scale=jnp.zeros(shape[:-1], jnp.float32) if quant else None,
+            page_size=page_size,
+        )
+
+
+# ----------------------------------------------------------------------
+# Contiguous cache ops (single-layer slices: [B, S, Hk, D])
+# ----------------------------------------------------------------------
+
+def contiguous_write(
+    cache_l: jax.Array,
+    new: jax.Array,
+    positions: jax.Array,
+    fresh_prefill: bool = False,
+) -> jax.Array:
+    """Write ``new [B, T, Hk, D]`` at ``positions [B, T]`` into ``[B, S, ...]``.
+
+    ``fresh_prefill=True`` asserts positions are ``0..T-1`` for every row and
+    lowers to a single dynamic_update_slice (the fast path, analogous to the
+    reference's one cudaMemcpy2D per layer at prefill).
+    """
+    if fresh_prefill:
+        return jax.lax.dynamic_update_slice(
+            cache_l, new.astype(cache_l.dtype), (0, 0, 0, 0)
+        )
+    b = jnp.arange(cache_l.shape[0])[:, None]
+    return cache_l.at[b, positions].set(new.astype(cache_l.dtype))
+
+
+def contiguous_read(cache_l: jax.Array) -> jax.Array:
+    return cache_l
+
+
+# ----------------------------------------------------------------------
+# Paged cache ops (single-layer slices: [P, page, Hk, D])
+# ----------------------------------------------------------------------
+
+def paged_write(
+    pages_l: jax.Array,
+    new: jax.Array,
+    positions: jax.Array,
+    block_tables: jax.Array,
+    page_size: int,
+) -> jax.Array:
+    """Scatter ``new [B, T, Hk, D]`` at absolute ``positions [B, T]`` through
+    ``block_tables [B, max_pages]`` into the page pool ``[P, page, Hk, D]``.
+
+    Replaces the reference's per-token page-list walk + 2 cudaMemcpys
+    (include_cuda.cu:233-279). Page *allocation* (growing a sequence's block
+    table) is host-side scheduler logic; here tables are already sized.
+    """
+    logical_page = positions // page_size  # [B, T]
+    slot = positions % page_size
+    page_ids = jnp.take_along_axis(block_tables, logical_page, axis=1)  # [B, T]
+    return pages_l.at[page_ids, slot].set(new.astype(pages_l.dtype))
+
+
+def paged_read(
+    pages_l: jax.Array, block_tables: jax.Array
+) -> jax.Array:
+    """Gather a sequence-major view ``[B, max_pages*page_size, Hk, D]``.
+
+    XLA fallback used by the jnp attention path; the Pallas ragged paged
+    attention kernel consumes pages directly and skips this materialization.
+    """
+    gathered = pages_l[block_tables]  # [B, max_pages, page, Hk, D]
+    B, NP, PS, Hk, D = gathered.shape
+    return gathered.reshape(B, NP * PS, Hk, D)
+
+
+def pages_required(seq_len: int, page_size: int) -> int:
+    """ceil(seq/page) — the reference eager-allocates one extra
+    (iengine.cu:339-351); we allocate exactly and grow lazily."""
+    return -(-seq_len // page_size)

@@ -1,0 +1,292 @@
+"""Qwen2 / Qwen2.5 / Qwen3 transformer forward — functional, scan-over-layers.
+
+TPU-native replacement for the reference's engine core ``llm()``
+(reference: layers/src/qwen_main.cu:64-417): where the reference drives
+40 layers × ~13 CUDA kernel launches from the host with a
+cudaDeviceSynchronize after nearly every op, here the whole forward is ONE
+jitted function with ``lax.scan`` over the layer axis — every weight is a
+leaf of a layer-stacked pytree (leading axis = layer), the KV cache is a
+scanned carry, and XLA fuses norm/rope/activation into the surrounding
+MXU matmuls.  Prefill and decode share this code path (the reference keeps
+two near-duplicate 150-line bodies, qwen_main.cu:74-247 vs 250-404); decode
+is simply T=1.
+
+Per-layer schedule (identical op order to the reference's llm()):
+  rmsnorm → q/k/v proj → qk-norm (Qwen3) → RoPE → KV write → GQA attention
+  → o proj → residual → rmsnorm → gate/up proj → SiLU⊙ → down proj →
+  residual; then final norm → last-token select (≙ copy_last_vocab_vec,
+  helpers.cuh:149) → lm_head → sampling (ops/sampling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen_inference_engine_tpu.config import ModelConfig
+from qwen_inference_engine_tpu.kvcache.cache import (
+    KVCache,
+    PagedKVCache,
+    contiguous_write,
+    paged_read,
+    paged_write,
+)
+from qwen_inference_engine_tpu.ops.attention import gqa_attention
+from qwen_inference_engine_tpu.ops.linear import Linear, apply_linear
+from qwen_inference_engine_tpu.ops.norms import qk_norm, rms_norm
+from qwen_inference_engine_tpu.ops.rope import apply_rope, precompute_rope
+from qwen_inference_engine_tpu.quant.kv_quant import dequantize_kv, quantize_kv
+
+
+# ----------------------------------------------------------------------
+# Parameter init (random weights; checkpoint loading in loader/)
+# ----------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-init a layer-stacked param pytree (for tests and benches)."""
+    L, D, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Qd, Kd = cfg.q_dim, cfg.kv_dim
+    ks = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, scale=None):
+        scale = scale if scale is not None else shape[-2] ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    bias = cfg.attention_bias
+    layers = {
+        "input_norm": jnp.ones((L, D), dtype),
+        "q": Linear(dense(next(ks), (L, D, Qd)), jnp.zeros((L, Qd), dtype) if bias else None),
+        "k": Linear(dense(next(ks), (L, D, Kd)), jnp.zeros((L, Kd), dtype) if bias else None),
+        "v": Linear(dense(next(ks), (L, D, Kd)), jnp.zeros((L, Kd), dtype) if bias else None),
+        "o": Linear(dense(next(ks), (L, Qd, D))),
+        "post_norm": jnp.ones((L, D), dtype),
+        "gate": Linear(dense(next(ks), (L, D, F))),
+        "up": Linear(dense(next(ks), (L, D, F))),
+        "down": Linear(dense(next(ks), (L, F, D))),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+    cos, sin = precompute_rope(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
+    params = {
+        "embed": dense(next(ks), (V, D), scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = Linear(dense(next(ks), (D, V)))
+    return params
+
+
+# ----------------------------------------------------------------------
+# KV read/write for one layer, transparently handling INT8 KV caches
+# ----------------------------------------------------------------------
+
+def _write_layer_cache(cslices: dict, k_new, v_new, positions, block_tables,
+                       page_size: Optional[int], fresh_prefill: bool) -> dict:
+    out = dict(cslices)
+    if cslices.get("k_scale") is not None:
+        qk, sk = quantize_kv(k_new)
+        qv, sv = quantize_kv(v_new)
+        if page_size is not None:
+            out["k"] = paged_write(cslices["k"], qk, positions, block_tables, page_size)
+            out["v"] = paged_write(cslices["v"], qv, positions, block_tables, page_size)
+            out["k_scale"] = paged_write(
+                cslices["k_scale"][..., None], sk[..., None], positions, block_tables, page_size
+            )[..., 0]
+            out["v_scale"] = paged_write(
+                cslices["v_scale"][..., None], sv[..., None], positions, block_tables, page_size
+            )[..., 0]
+        else:
+            out["k"] = contiguous_write(cslices["k"], qk, positions, fresh_prefill)
+            out["v"] = contiguous_write(cslices["v"], qv, positions, fresh_prefill)
+            out["k_scale"] = contiguous_write(
+                cslices["k_scale"][..., None], sk[..., None], positions, fresh_prefill
+            )[..., 0]
+            out["v_scale"] = contiguous_write(
+                cslices["v_scale"][..., None], sv[..., None], positions, fresh_prefill
+            )[..., 0]
+    else:
+        if page_size is not None:
+            out["k"] = paged_write(cslices["k"], k_new, positions, block_tables, page_size)
+            out["v"] = paged_write(cslices["v"], v_new, positions, block_tables, page_size)
+        else:
+            out["k"] = contiguous_write(cslices["k"], k_new, positions, fresh_prefill)
+            out["v"] = contiguous_write(cslices["v"], v_new, positions, fresh_prefill)
+    return out
+
+
+def _read_layer_cache(cslices: dict, block_tables, page_size: Optional[int], dtype):
+    if page_size is not None:
+        k = paged_read(cslices["k"], block_tables)
+        v = paged_read(cslices["v"], block_tables)
+        if cslices.get("k_scale") is not None:
+            ks = paged_read(cslices["k_scale"][..., None], block_tables)[..., 0]
+            vs = paged_read(cslices["v_scale"][..., None], block_tables)[..., 0]
+            k = dequantize_kv(k, ks, dtype)
+            v = dequantize_kv(v, vs, dtype)
+    else:
+        k, v = cslices["k"], cslices["v"]
+        if cslices.get("k_scale") is not None:
+            k = dequantize_kv(k, cslices["k_scale"], dtype)
+            v = dequantize_kv(v, cslices["v_scale"], dtype)
+    return k, v
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+
+def forward_hidden(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,       # [B, T] int32
+    positions: jax.Array,    # [B, T] int32 absolute positions
+    cache,                   # KVCache | PagedKVCache
+    block_tables: Optional[jax.Array] = None,  # [B, max_pages] for paged
+    *,
+    fresh_prefill: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[jax.Array, object]:
+    """Run the transformer stack; returns (hidden [B,T,D], updated cache)."""
+    B, T = tokens.shape
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    x = jnp.take(params["embed"], tokens, axis=0)
+    dtype = x.dtype
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    paged = isinstance(cache, PagedKVCache)
+    page_size = cache.page_size if paged else None
+    if paged:
+        cache_arrays = {"k": cache.k_pages, "v": cache.v_pages,
+                        "k_scale": cache.k_scale, "v_scale": cache.v_scale}
+    else:
+        cache_arrays = {"k": cache.k, "v": cache.v,
+                        "k_scale": cache.k_scale, "v_scale": cache.v_scale}
+
+    def layer_fn(x, scanned):
+        lp, cslices = scanned
+        h = rms_norm(x, lp["input_norm"], eps)
+        q = apply_linear(h, lp["q"], use_pallas).reshape(B, T, Hq, Dh)
+        k = apply_linear(h, lp["k"], use_pallas).reshape(B, T, Hk, Dh)
+        v = apply_linear(h, lp["v"], use_pallas).reshape(B, T, Hk, Dh)
+        if cfg.qk_norm:
+            q = qk_norm(q, lp["q_norm"], eps)
+            k = qk_norm(k, lp["k_norm"], eps)
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
+
+        cslices = _write_layer_cache(
+            cslices, k, v, positions, block_tables, page_size, fresh_prefill
+        )
+        if fresh_prefill:
+            # self-contained prefill from position 0: attend within the new
+            # block only — avoids reading the (empty) rest of the cache.
+            attn = gqa_attention(q, k, v, positions)
+        else:
+            k_all, v_all = _read_layer_cache(cslices, block_tables, page_size, dtype)
+            attn = gqa_attention(q, k_all, v_all, positions)
+
+        x = x + apply_linear(attn.reshape(B, T, Hq * Dh), lp["o"], use_pallas)
+        h = rms_norm(x, lp["post_norm"], eps)
+        gate = apply_linear(h, lp["gate"], use_pallas)
+        up = apply_linear(h, lp["up"], use_pallas)
+        x = x + apply_linear(jax.nn.silu(gate) * up, lp["down"], use_pallas)
+        return x, cslices
+
+    x, new_cache_arrays = jax.lax.scan(layer_fn, x, (params["layers"], cache_arrays))
+    x = rms_norm(x, params["final_norm"], eps)
+
+    if paged:
+        new_cache = PagedKVCache(
+            k_pages=new_cache_arrays["k"], v_pages=new_cache_arrays["v"],
+            k_scale=new_cache_arrays.get("k_scale"),
+            v_scale=new_cache_arrays.get("v_scale"),
+            page_size=cache.page_size,
+        )
+    else:
+        new_cache = KVCache(
+            k=new_cache_arrays["k"], v=new_cache_arrays["v"],
+            k_scale=new_cache_arrays.get("k_scale"),
+            v_scale=new_cache_arrays.get("v_scale"),
+        )
+    return x, new_cache
+
+
+def compute_logits(params: dict, hidden: jax.Array, use_pallas: bool = True) -> jax.Array:
+    """hidden [..., D] -> fp32 logits [..., V] (tied or untied head)."""
+    if "lm_head" in params:
+        logits = apply_linear(hidden, params["lm_head"], use_pallas)
+    else:
+        logits = jnp.dot(hidden, params["embed"].astype(hidden.dtype).T,
+                         preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+def prefill(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,     # [B, T] right-padded prompts
+    lengths: jax.Array,    # [B] true prompt lengths
+    cache,
+    block_tables: Optional[jax.Array] = None,
+    *,
+    use_pallas: bool = True,
+) -> Tuple[jax.Array, object]:
+    """Fresh prefill from position 0. Returns (last-token logits [B,V], cache).
+
+    Logits are computed for the last *valid* token only (the reference's
+    copy_last_vocab_vec + single-row lm_head GEMM, qwen_main.cu:233-241) —
+    the full [T, V] logits matmul is skipped.
+    """
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    hidden, cache = forward_hidden(
+        params, cfg, tokens, positions, cache, block_tables,
+        fresh_prefill=True, use_pallas=use_pallas,
+    )
+    last_idx = (lengths - 1).astype(jnp.int32)
+    last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+    return compute_logits(params, last_hidden, use_pallas), cache
+
+
+def decode_step(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,     # [B] the previously sampled token per sequence
+    positions: jax.Array,  # [B] absolute position of that token (= seq_len)
+    cache,
+    block_tables: Optional[jax.Array] = None,
+    *,
+    use_pallas: bool = True,
+) -> Tuple[jax.Array, object]:
+    """One decode step for every sequence. Returns (logits [B,V], cache)."""
+    hidden, cache = forward_hidden(
+        params, cfg, tokens[:, None], positions[:, None], cache, block_tables,
+        fresh_prefill=False, use_pallas=use_pallas,
+    )
+    return compute_logits(params, hidden[:, 0], use_pallas), cache
+
+
+def score_logits(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,     # [B, T]
+    cache,
+    block_tables: Optional[jax.Array] = None,
+    *,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Full [B, T, V] fp32 logits for perplexity evaluation (utils/ppl.py)."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    hidden, _ = forward_hidden(
+        params, cfg, tokens, positions, cache, block_tables,
+        fresh_prefill=True, use_pallas=use_pallas,
+    )
+    return compute_logits(params, hidden, use_pallas)

@@ -1,0 +1,161 @@
+"""Linear layers: bf16 and weight-only-quantized (INT8 / INT4).
+
+TPU-native replacement for the reference's WMMA bf16 GEMM
+(reference: layers/src/matrix_mul.cu:165-288, launched via
+layers/include/helpers.cuh:81-106).  The reference computes
+``C[M,Kout] = A[M,N] . B[Kout,N]^T`` against HF row-major ``[out,in]``
+weights; we instead store weights pre-transposed ``[in,out]`` so every
+projection is a plain ``jnp.dot`` that XLA tiles directly onto the MXU —
+no transpose, no hand scheduling.
+
+Quantized weights (INT8 per-output-channel, INT4 group-wise — the baseline's
+north-star kernels, absent from the pure-bf16 reference) are stored packed;
+the matmul dispatches to a Pallas fused dequant-matmul kernel on TPU with a
+pure-XLA fallback elsewhere.
+
+INT4 packing layout: along the reduction (in) axis, logical rows are packed
+two-per-byte *within each group*: byte row ``g*G/2 + r`` of group ``g`` holds
+logical rows ``g*G + r`` (low nibble) and ``g*G + G/2 + r`` (high nibble).
+Unpacking a group is therefore ``concat([lo, hi], axis=0)`` — layout chosen
+so a Pallas kernel can unpack a K-block with two shifts and one concat,
+keeping the MXU fed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["w", "b"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Linear:
+    """Dense weight ``[in, out]`` (+ optional bias) in bf16/fp32."""
+
+    w: jax.Array
+    b: Optional[jax.Array] = None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales", "b"],
+    meta_fields=["bits", "group_size"],
+)
+@dataclasses.dataclass
+class QuantLinear:
+    """Weight-only quantized dense layer.
+
+    q: int8. For bits=8: ``[in, out]`` values in [-127,127].
+       For bits=4: ``[in//2, out]`` packed nibbles (see module docstring),
+       logical values in [-8,7].
+    scales: ``[in//group_size, out]`` float32 dequant scales.
+    """
+
+    q: jax.Array
+    scales: jax.Array
+    b: Optional[jax.Array]
+    bits: int
+    group_size: int
+
+    @property
+    def in_features(self) -> int:
+        k = self.q.shape[-2]
+        return k * 2 if self.bits == 4 else k
+
+    @property
+    def out_features(self) -> int:
+        return self.q.shape[-1]
+
+
+def unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
+    """Unpack ``[K//2, N]`` int8 nibbles to ``[K, N]`` int8 in [-8, 7].
+
+    Inverse of quant.pack_int4; group-local two-row-per-byte layout.
+    """
+    kh, n = packed.shape[-2], packed.shape[-1]
+    g2 = group_size // 2
+    # Mosaic/TPU has no sub-32-bit vector shifts; sign-extend nibbles in i32.
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.int8)
+    lead = packed.shape[:-2]
+    lo = lo.reshape(*lead, kh // g2, g2, n)
+    hi = hi.reshape(*lead, kh // g2, g2, n)
+    out = jnp.concatenate([lo, hi], axis=-2)  # [..., groups, group_size, n]
+    return out.reshape(*lead, kh * 2, n)
+
+
+def dequantize(lin: QuantLinear) -> jax.Array:
+    """Materialize the bf16 weight ``[in, out]`` (testing / XLA fallback)."""
+    if lin.bits == 8:
+        q = lin.q
+    elif lin.bits == 4:
+        q = unpack_int4(lin.q, lin.group_size)
+    else:
+        raise ValueError(f"bits={lin.bits}")
+    k, n = q.shape[-2], q.shape[-1]
+    groups = lin.scales.shape[-2]
+    lead = q.shape[:-2]
+    qg = q.reshape(*lead, groups, k // groups, n).astype(jnp.float32)
+    w = qg * lin.scales[..., :, None, :]
+    return w.reshape(*lead, k, n).astype(jnp.bfloat16)
+
+
+def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
+    """Pure-XLA fused dequant matmul.
+
+    Contracts per group so XLA fuses the int→float cast and scale into the
+    reduction without materializing the bf16 weight in HBM:
+    ``y = sum_g (x_g @ q_g) * s_g`` with the scale applied per-group.
+    """
+    if lin.bits == 8:
+        q = lin.q
+    else:
+        q = unpack_int4(lin.q, lin.group_size)
+    k, n = q.shape
+    groups = lin.scales.shape[0]
+    gs = k // groups
+    lead = x.shape[:-1]
+    xg = x.reshape(-1, groups, gs).astype(jnp.float32)
+    qg = q.reshape(groups, gs, n)
+    # [M, groups, n] per-group partial products, MXU-friendly batched dot.
+    partial_y = jnp.einsum(
+        "mgk,gkn->mgn", xg, qg.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.sum(partial_y * lin.scales[None, :, :], axis=1)
+    return y.reshape(*lead, n).astype(x.dtype)
+
+
+def apply_linear(x: jax.Array, lin, use_pallas: bool = True) -> jax.Array:
+    """``x [..., in] @ lin -> [..., out]`` for Linear or QuantLinear."""
+    if isinstance(lin, Linear):
+        y = jnp.dot(x, lin.w.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
+    elif isinstance(lin, QuantLinear):
+        if use_pallas and _pallas_available():
+            from qwen_inference_engine_tpu.ops.quant_matmul import quant_matmul_pallas
+
+            y = quant_matmul_pallas(x, lin)
+        else:
+            y = _quant_matmul_xla(x, lin)
+    else:
+        raise TypeError(f"not a linear: {type(lin)}")
+    if lin.b is not None:
+        y = y + lin.b.astype(y.dtype)
+    return y
+
+
+def _pallas_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -1,0 +1,107 @@
+"""Weight-only quantization: INT8 per-channel and INT4 group-wise packing.
+
+The reference engine is pure bf16 (its weights.bin pipeline,
+layers/src/tensor_parser.cpp + iengine.cu:117-223, streams bf16 bytes);
+INT8/INT4 weight-only quant with fused dequant-matmul is the baseline's
+north-star addition.  This module is the offline packer; the runtime side
+is ops/linear.py (XLA fallback) and ops/quant_matmul.py (Pallas kernel).
+
+Schemes (standard weight-only recipes):
+* INT8: symmetric per-output-channel absmax over the full reduction axis —
+  one fp32 scale per output column.  (ppl Δ target ≤ 0.1)
+* INT4: symmetric absmax per ``group_size`` slice of the reduction axis —
+  scales ``[in/group, out]``, values in [-8, 7] (we use -7..7 symmetric),
+  packed two logical rows per int8 byte (see ops/linear.py docstring for
+  the exact nibble layout).  (ppl Δ target ≤ 0.5)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qwen_inference_engine_tpu.ops.linear import Linear, QuantLinear
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    bits: int = 8               # 4 or 8
+    group_size: int = 128       # reduction-axis group (int8 uses per-channel
+                                # = one group over the whole axis by default)
+    quantize_lm_head: bool = False
+    kv_bits: int = 16           # 8 → int8 KV cache
+
+    def __post_init__(self):
+        assert self.bits in (4, 8), self.bits
+
+
+def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
+    """Pack ``[K, N]`` int8 values in [-8,7] to ``[K//2, N]`` bytes.
+
+    Within each group of ``group_size`` logical rows, row ``r`` of the first
+    half goes to the low nibble and row ``r + group_size//2`` to the high
+    nibble of packed row ``g*group_size//2 + r`` — so unpacking is two
+    shifts + concat (ops/linear.py:unpack_int4).
+    """
+    k, n = q.shape[-2], q.shape[-1]
+    assert k % group_size == 0 and group_size % 2 == 0
+    lead = q.shape[:-2]
+    g2 = group_size // 2
+    qg = q.reshape(*lead, k // group_size, 2, g2, n)
+    lo = qg[..., 0, :, :].astype(jnp.uint8) & 0xF
+    hi = (qg[..., 1, :, :].astype(jnp.uint8) & 0xF) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return packed.reshape(*lead, k // 2, n)
+
+
+def quantize_linear(lin: Linear, bits: int, group_size: Optional[int] = None) -> QuantLinear:
+    """Quantize a bf16 Linear to a QuantLinear (weights ``[.., in, out]``).
+
+    Works on single weights ``[K, N]`` and layer-stacked ``[L, K, N]``.
+    """
+    w = lin.w.astype(jnp.float32)
+    k = w.shape[-2]
+    if bits == 8:
+        gs = group_size or k  # default: per-output-channel (one group)
+        qmax = 127.0
+    else:
+        gs = group_size or 128
+        qmax = 7.0
+    assert k % gs == 0, (k, gs)
+    groups = k // gs
+    lead = w.shape[:-2]
+    n = w.shape[-1]
+    wg = w.reshape(*lead, groups, gs, n)
+    absmax = jnp.max(jnp.abs(wg), axis=-2)  # [..., groups, n]
+    scales = absmax / qmax
+    safe = jnp.where(scales > 0, scales, 1.0)
+    q = jnp.clip(jnp.round(wg / safe[..., None, :]), -qmax, qmax)
+    q = q.reshape(*lead, k, n).astype(jnp.int8)
+    if bits == 4:
+        if q.ndim == 2:
+            q = pack_int4(q, gs)
+        else:  # layer-stacked
+            q = jax.vmap(lambda t: pack_int4(t, gs))(q)
+    return QuantLinear(q=q, scales=scales.astype(jnp.float32), b=lin.b,
+                       bits=bits, group_size=gs)
+
+
+def quantize_params(params: dict, qcfg: QuantConfig) -> dict:
+    """Quantize every projection Linear in a model param pytree.
+
+    Norm weights, embeddings and rope tables stay bf16/fp32; lm_head is
+    quantized only if ``qcfg.quantize_lm_head`` (it dominates decode FLOPs
+    at small models but is accuracy-sensitive).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name, leaf in list(layers.items()):
+        if isinstance(leaf, Linear):
+            layers[name] = quantize_linear(leaf, qcfg.bits, qcfg.group_size)
+    out["layers"] = layers
+    if qcfg.quantize_lm_head and isinstance(out.get("lm_head"), Linear):
+        out["lm_head"] = quantize_linear(out["lm_head"], qcfg.bits, qcfg.group_size)
+    return out

@@ -1,0 +1,112 @@
+"""End-to-end logit parity vs HuggingFace Qwen2/Qwen3 (torch CPU oracle).
+
+The golden-value strategy SURVEY.md §4 calls for: tiny random-weight HF
+models checked against our forward in fp32 (tolerances are float-roundoff,
+not "close enough" — any RoPE/eps/GQA wiring mistake shows up as gross
+error). Also checks decode vs prefill self-consistency: N decode steps must
+reproduce the full-forward logits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from qwen_inference_engine_tpu.config import tiny_config
+from qwen_inference_engine_tpu.kvcache.cache import KVCache
+from qwen_inference_engine_tpu.loader.convert import params_from_state_dict
+from qwen_inference_engine_tpu.models.qwen import (
+    decode_step,
+    prefill,
+    score_logits,
+)
+
+B, T = 2, 12
+
+
+def _hf_model(cfg):
+    import transformers
+
+    hf_cfg_dict = cfg.to_hf_config()
+    if cfg.qk_norm:
+        hf_cfg = transformers.Qwen3Config(**hf_cfg_dict, attention_bias=False)
+        cls = transformers.Qwen3ForCausalLM
+    else:
+        hf_cfg = transformers.Qwen2Config(**hf_cfg_dict)
+        cls = transformers.Qwen2ForCausalLM
+    torch.manual_seed(0)
+    model = cls(hf_cfg).eval()
+    return model
+
+
+@pytest.mark.parametrize("qk_norm", [False, True], ids=["qwen2", "qwen3"])
+def test_logit_parity_vs_hf(qk_norm):
+    cfg = tiny_config(qk_norm=qk_norm)
+    model = _hf_model(cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, T)).astype(np.int32)
+
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens).long()).logits.float().numpy()
+
+    params = params_from_state_dict(cfg, model.state_dict(), dtype=jnp.float32)
+    cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+    ours = np.asarray(
+        score_logits(params, cfg, jnp.asarray(tokens), cache), np.float32
+    )
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("qk_norm", [False, True], ids=["qwen2", "qwen3"])
+def test_decode_matches_full_forward(qk_norm):
+    """prefill(prompt) then decode one token at a time == one full forward."""
+    cfg = tiny_config(qk_norm=qk_norm)
+    key = jax.random.PRNGKey(0)
+    from qwen_inference_engine_tpu.models.qwen import init_params
+
+    params = init_params(cfg, key, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    full = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)).astype(np.int32))
+    prompt_len = 5
+
+    cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads, cfg.head_dim,
+                           dtype=jnp.float32)
+    full_cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads, cfg.head_dim,
+                                dtype=jnp.float32)
+    all_logits = np.asarray(score_logits(params, cfg, full, full_cache), np.float32)
+
+    lens = jnp.full((B,), prompt_len, jnp.int32)
+    logits, cache = prefill(params, cfg, full[:, :prompt_len], lens, cache)
+    np.testing.assert_allclose(
+        np.asarray(logits), all_logits[:, prompt_len - 1], rtol=1e-4, atol=1e-4
+    )
+    for t in range(prompt_len, T):
+        tok = full[:, t]
+        pos = jnp.full((B,), t, jnp.int32)
+        logits, cache = decode_step(params, cfg, tok, pos, cache)
+        np.testing.assert_allclose(
+            np.asarray(logits), all_logits[:, t], rtol=1e-4, atol=1e-4,
+            err_msg=f"step {t}",
+        )
+
+
+def test_prefill_right_padding_invariance():
+    """Padded prompt slots must not affect the last-token logits."""
+    cfg = tiny_config()
+    from qwen_inference_engine_tpu.models.qwen import init_params
+
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 6)).astype(np.int32))
+    lens = jnp.asarray([6], jnp.int32)
+
+    def run(padded_to):
+        pad = jnp.zeros((1, padded_to - 6), jnp.int32) + 9  # arbitrary pad id
+        toks = jnp.concatenate([prompt, pad], axis=1)
+        cache = KVCache.create(cfg.num_layers, 1, 32, cfg.num_kv_heads, cfg.head_dim,
+                               dtype=jnp.float32)
+        logits, _ = prefill(params, cfg, toks, lens, cache)
+        return np.asarray(logits)
+
+    np.testing.assert_allclose(run(8), run(16), rtol=1e-5, atol=1e-5)
