@@ -1,0 +1,168 @@
+"""Headline benchmark: decode tokens/s/chip, Qwen2.5-7B INT4 weight-only.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by the BASELINE.md target
+(85% of the HBM-bandwidth roofline for this chip/model/batch/context —
+the reference repo publishes no numbers of its own, SURVEY.md §6, so the
+driver's north-star target is the baseline).  vs_baseline ≥ 1.0 means the
+target is met.
+
+Everything (weights, KV traffic) is modeled from actual array sizes; the
+roofline is bytes-per-decode-step / HBM bandwidth. Weights are random but
+shape-exact (no checkpoint download on this host); arithmetic is identical
+to real serving.
+
+Env overrides: BENCH_MODEL, BENCH_BATCH, BENCH_STEPS, BENCH_PROMPT,
+BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16), BENCH_SMALL=1 (smoke mode).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# chip -> (HBM GB/s, bf16 TFLOP/s)
+CHIP_SPECS = {
+    "v5e": (819.0, 197.0),
+    "v5litepod": (819.0, 197.0),
+    "v5 lite": (819.0, 197.0),
+    "v5p": (2765.0, 459.0),
+    "v5": (2765.0, 459.0),
+    "v4": (1228.0, 275.0),
+    "v6e": (1638.0, 918.0),
+    "v6 lite": (1638.0, 918.0),
+    "cpu": (50.0, 1.0),
+}
+
+
+def chip_bandwidth_gbs() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (bw, _) in CHIP_SPECS.items():
+        if key in kind:
+            return bw
+    log(f"unknown device kind {kind!r}; assuming v5e bandwidth")
+    return 819.0
+
+
+def tree_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(tree) if hasattr(x, "dtype"))
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "16" if small else "128"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "128"))
+    bits = int(os.environ.get("BENCH_BITS", "4"))
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
+    warmup = 4 if small else 16
+
+    from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        decode_step,
+        init_params,
+        init_quantized_params,
+        prefill,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
+
+    cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
+    max_seq = prompt_len + steps + 16
+    log(f"bench: {cfg.name} INT{bits} kv={kv_bits} batch={batch} "
+        f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
+
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    if bits >= 16:
+        params = init_params(cfg, key, dtype=jnp.bfloat16)
+    else:
+        params = init_quantized_params(cfg, key, bits=bits, group_size=128)
+    kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=kv_dtype)
+    jax.block_until_ready(params)
+    log(f"params ready in {time.perf_counter()-t0:.1f}s; "
+        f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
+
+    sp = SamplingParams(temperature=0.7, top_k=50)
+
+    def _decode(params, tok, pos, cache, rkey):
+        logits, cache = decode_step(params, cfg, tok, pos, cache)
+        return sample(logits, rkey, sp), cache
+
+    jit_prefill = jax.jit(
+        lambda p, t, l, c: prefill(p, cfg, t, l, c), donate_argnums=(3,))
+    jit_decode = jax.jit(_decode, donate_argnums=(3,))
+
+    rng = np.random.default_rng(0)
+    prompts = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=(batch, prompt_len)).astype(np.int32))
+    lens = jnp.full((batch,), prompt_len, jnp.int32)
+
+    t0 = time.perf_counter()
+    logits, cache = jit_prefill(params, prompts, lens, cache)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    np.asarray(tok)  # value fetch = true completion (block_until_ready can
+    ttft = time.perf_counter() - t0  # return early through device tunnels)
+    log(f"prefill+compile: {ttft:.2f}s")
+
+    def run(n, start_step):
+        nonlocal cache, tok
+        for s in range(n):
+            pos = lens + start_step + s
+            rkey = jax.random.fold_in(jax.random.PRNGKey(1234), start_step + s)
+            tok, cache = jit_decode(params, tok, pos, cache, rkey)
+        np.asarray(tok)  # hard sync
+
+    run(warmup, 0)  # compile + warm
+    t0 = time.perf_counter()
+    run(steps, warmup)
+    dt = time.perf_counter() - t0
+    tok_per_s = steps * batch / dt
+    step_ms = dt / steps * 1e3
+    log(f"decode: {steps} steps x batch {batch} in {dt:.3f}s "
+        f"({step_ms:.2f} ms/step) → {tok_per_s:.1f} tok/s/chip")
+
+    # ---- roofline ----
+    bw = chip_bandwidth_gbs() * 1e9
+    weight_bytes = tree_bytes(params)
+    # rope tables are read only at gathered positions; exclude them
+    weight_bytes -= (params["rope_cos"].size + params["rope_sin"].size) * 4
+    # embedding is a B-row gather at decode, not a full read
+    emb = params["embed"]
+    weight_bytes -= emb.size * emb.dtype.itemsize
+    avg_ctx = prompt_len + warmup + steps / 2
+    kv_itemsize = 1 if kv_bits == 8 else 2
+    kv_bytes = (cfg.num_layers * batch * avg_ctx * cfg.num_kv_heads *
+                cfg.head_dim * 2 * kv_itemsize)
+    step_bytes = weight_bytes + kv_bytes
+    roofline = batch / (step_bytes / bw)
+    target = 0.85 * roofline
+    log(f"roofline: {step_bytes/1e9:.2f} GB/step @ {bw/1e9:.0f} GB/s → "
+        f"{roofline:.1f} tok/s; target(85%)={target:.1f}; "
+        f"achieved {100*tok_per_s/roofline:.1f}% of roofline")
+
+    print(json.dumps({
+        "metric": f"decode_tok_per_s_per_chip_{cfg.name}_int{bits}_b{batch}",
+        "value": round(tok_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_per_s / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

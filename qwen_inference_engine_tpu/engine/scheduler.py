@@ -1,0 +1,290 @@
+"""Continuous batching over a paged KV cache.
+
+The reference only *gestures* at this: its ``batch_metadata``/``State``
+structs and a commented-out second sequence (reference:
+layers/include/iengine.cuh:23-48, layers/src/iengine.cu:294-322,448-453)
+define per-sequence state but the engine runs exactly one sequence.  This
+module supplies the real mechanics, TPU-style:
+
+* fixed ``max_slots`` decode batch (static shapes — no recompiles as
+  requests come and go; empty slots point at a scratch page and are masked);
+* a host-side page allocator over the device page pool
+  (kvcache/cache.py) with **admission control by KV-page budget** — a
+  request is admitted only if its worst-case pages (prompt + max_new) are
+  free, generalizing the reference's up-front VRAM probe
+  (iengine.cu:239-291) into per-request admission;
+* per-request prefill (bucketed lengths) into the admitted slot's pages,
+  then one fused decode step across all active slots per tick — mixed
+  prefill+decode continuous batching;
+* EOS / max-token completion frees pages + slot immediately, and the next
+  pending request is admitted on the same tick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_inference_engine_tpu.config import ModelConfig
+from qwen_inference_engine_tpu.kvcache.cache import PagedKVCache, pages_required
+from qwen_inference_engine_tpu.models.qwen import decode_step, prefill
+from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
+from qwen_inference_engine_tpu.parallel.sharding import make_sharded_cache
+from qwen_inference_engine_tpu.utils.metrics import Metrics
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt: List[int]
+    max_new_tokens: int = 128
+    sampling: Optional[SamplingParams] = None
+
+
+@dataclasses.dataclass
+class _Running:
+    request: Request
+    slot: int
+    pages: List[int]
+    seq_len: int                      # tokens currently in cache
+    generated: List[int] = dataclasses.field(default_factory=list)
+    last_token: int = 0
+    t_submit: float = 0.0
+
+
+@dataclasses.dataclass
+class FinishedRequest:
+    request_id: int
+    token_ids: List[int]
+    finish_reason: str                # "eos" | "length"
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        *,
+        mesh=None,
+        max_slots: int = 8,
+        page_size: int = 16,
+        num_pages: int = 512,
+        max_pages_per_seq: int = 64,
+        kv_dtype=jnp.bfloat16,
+        sampling: Optional[SamplingParams] = None,
+        seed: int = 1234,
+        use_pallas: bool = True,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.max_slots = max_slots
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_pages_per_seq = max_pages_per_seq
+        self.sampling = sampling or SamplingParams()
+        self.seed = seed
+        self.use_pallas = use_pallas
+        self.metrics = Metrics()
+
+        cache = PagedKVCache.create(
+            cfg.num_layers, num_pages, page_size,
+            cfg.num_kv_heads, cfg.head_dim, dtype=kv_dtype,
+        )
+        self.cache = make_sharded_cache(cache, mesh)
+        # page 0 is the scratch page for inactive slots / unallocated entries
+        self._free_pages: List[int] = list(range(num_pages - 1, 0, -1))
+        self._block_tables = np.zeros((max_slots, max_pages_per_seq), np.int32)
+        self._seq_lens = np.zeros((max_slots,), np.int32)
+        self._slots: List[Optional[_Running]] = [None] * max_slots
+        self._pending: Deque[Request] = deque()
+        self._finished: List[FinishedRequest] = []
+        self._step_count = 0
+        self._jit_cache: Dict = {}
+        self._eos = set(cfg.eos_token_ids)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_active(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    @property
+    def num_pending(self) -> int:
+        return len(self._pending)
+
+    def has_work(self) -> bool:
+        return self.num_active > 0 or self.num_pending > 0
+
+    def submit(self, request: Request) -> None:
+        self._pending.append(request)
+
+    # ------------------------------------------------------------------
+    def _jit_prefill(self, T: int, sp: SamplingParams):
+        key = ("prefill", T, sp.top_k, sp.greedy)
+        if key not in self._jit_cache:
+            cfg, use_pallas = self.cfg, self.use_pallas
+
+            def fn(params, tokens, lens, cache, tables, rkey, sp_dyn):
+                logits, cache = prefill(params, cfg, tokens, lens, cache,
+                                        block_tables=tables, use_pallas=use_pallas)
+                sp_full = dataclasses.replace(
+                    sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
+                    repetition_penalty=sp_dyn["repetition_penalty"])
+                tok = sample(logits, rkey, sp_full)
+                return tok, cache
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._jit_cache[key]
+
+    def _jit_decode(self, sp: SamplingParams):
+        key = ("decode", sp.top_k, sp.greedy)
+        if key not in self._jit_cache:
+            cfg, use_pallas = self.cfg, self.use_pallas
+
+            def fn(params, tok, pos, cache, tables, rkey, sp_dyn):
+                logits, cache = decode_step(params, cfg, tok, pos, cache,
+                                            block_tables=tables,
+                                            use_pallas=use_pallas)
+                sp_full = dataclasses.replace(
+                    sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
+                    repetition_penalty=sp_dyn["repetition_penalty"])
+                nxt = sample(logits, rkey, sp_full)
+                return nxt, cache
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._jit_cache[key]
+
+    def _sp_dyn(self, sp: SamplingParams):
+        return {
+            "temperature": jnp.float32(sp.temperature),
+            "top_p": jnp.float32(sp.top_p),
+            "repetition_penalty": jnp.float32(sp.repetition_penalty),
+        }
+
+    # ------------------------------------------------------------------
+    def _try_admit(self) -> bool:
+        """Admit one pending request if a slot + worst-case pages are free."""
+        if not self._pending:
+            return False
+        req = self._pending[0]
+        free_slot = next((i for i, s in enumerate(self._slots) if s is None), None)
+        if free_slot is None:
+            return False
+        total_tokens = len(req.prompt) + req.max_new_tokens
+        need = pages_required(total_tokens, self.page_size)
+        if need > self.max_pages_per_seq:
+            self._pending.popleft()
+            self._finished.append(FinishedRequest(req.request_id, [], "rejected"))
+            return True
+        if need > len(self._free_pages):
+            return False  # admission control: not enough KV budget yet
+        self._pending.popleft()
+        pages = [self._free_pages.pop() for _ in range(need)]
+        run = _Running(request=req, slot=free_slot, pages=pages,
+                       seq_len=len(req.prompt), t_submit=time.perf_counter())
+        self._slots[free_slot] = run
+        row = np.zeros((self.max_pages_per_seq,), np.int32)
+        row[: len(pages)] = pages
+        self._block_tables[free_slot] = row
+        self._seq_lens[free_slot] = len(req.prompt)
+        self._prefill_slot(run)
+        return True
+
+    def _prefill_slot(self, run: _Running) -> None:
+        sp = run.request.sampling or self.sampling
+        prompt = run.request.prompt
+        T = _bucket(len(prompt))
+        tokens = np.zeros((1, T), np.int32)
+        tokens[0, : len(prompt)] = prompt
+        fn = self._jit_prefill(T, sp)
+        rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                  run.request.request_id)
+        tok, self.cache = fn(
+            self.params, jnp.asarray(tokens),
+            jnp.asarray([len(prompt)], np.int32), self.cache,
+            jnp.asarray(self._block_tables[run.slot : run.slot + 1]),
+            rkey, self._sp_dyn(sp),
+        )
+        first = int(tok[0])
+        self.metrics.observe_ttft(time.perf_counter() - run.t_submit)
+        self.metrics.observe_prefill(len(prompt))
+        run.generated.append(first)
+        run.last_token = first
+        self._step_count += 1
+        if first in self._eos or len(run.generated) >= run.request.max_new_tokens:
+            self._finish(run, "eos" if first in self._eos else "length")
+
+    def _finish(self, run: _Running, reason: str) -> None:
+        self._finished.append(
+            FinishedRequest(run.request.request_id, run.generated, reason)
+        )
+        self._free_pages.extend(run.pages)
+        self._block_tables[run.slot] = 0
+        self._seq_lens[run.slot] = 0
+        self._slots[run.slot] = None
+
+    # ------------------------------------------------------------------
+    def step(self) -> List[FinishedRequest]:
+        """One scheduler tick: admit what fits, then one decode step for all
+        active slots. Returns requests that finished this tick."""
+        before = len(self._finished)
+        while self._try_admit():
+            pass
+        active = [s for s in self._slots if s is not None]
+        if active:
+            toks = np.zeros((self.max_slots,), np.int32)
+            pos = np.zeros((self.max_slots,), np.int32)
+            for s in active:
+                toks[s.slot] = s.last_token
+                pos[s.slot] = s.seq_len  # next write position
+            sp = self.sampling
+            fn = self._jit_decode(sp)
+            rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                      100_000 + self._step_count)
+            nxt, self.cache = fn(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+                jnp.asarray(self._block_tables), rkey, self._sp_dyn(sp),
+            )
+            self._step_count += 1
+            nxt_np = np.asarray(nxt)
+            t_now = time.perf_counter()
+            self.metrics.observe_decode(len(active), 0.0)
+            for s in active:
+                tok = int(nxt_np[s.slot])
+                s.seq_len += 1
+                self._seq_lens[s.slot] = s.seq_len
+                s.generated.append(tok)
+                s.last_token = tok
+                if tok in self._eos:
+                    self._finish(s, "eos")
+                elif len(s.generated) >= s.request.max_new_tokens:
+                    self._finish(s, "length")
+            del t_now
+        return self._finished[before:]
+
+    def run_to_completion(self) -> List[FinishedRequest]:
+        """Drain all pending + active requests; returns everything finished."""
+        t0 = time.perf_counter()
+        n0 = self._decoded_tokens_total()
+        while self.has_work():
+            self.step()
+        self.metrics.observe_decode(0, time.perf_counter() - t0)
+        del n0
+        out, self._finished = self._finished, []
+        return out
+
+    def _decoded_tokens_total(self) -> int:
+        return sum(len(f.token_ids) for f in self._finished)

@@ -82,6 +82,57 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
     return params
 
 
+def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
+                          group_size: int = 128, dtype=jnp.bfloat16) -> dict:
+    """Random-init a pytree with projections already in packed INT8/INT4
+    form — used by benchmarks so a 7B INT4 model never materializes in bf16.
+    Values are drawn directly in quantized space with realistic scales."""
+    from qwen_inference_engine_tpu.ops.linear import QuantLinear
+
+    L, D, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Qd, Kd = cfg.q_dim, cfg.kv_dim
+    ks = iter(jax.random.split(key, 24))
+    qmax = 7 if bits == 4 else 127
+    pack = 2 if bits == 4 else 1
+
+    def qlin(kin: int, out: int, bias: bool) -> QuantLinear:
+        q = jax.random.randint(next(ks), (L, kin // pack, out), -qmax, qmax + 1,
+                               dtype=jnp.int8)
+        scales = jnp.full((L, kin // group_size, out), (kin ** -0.5) / qmax,
+                          jnp.float32)
+        b = jnp.zeros((L, out), dtype) if bias else None
+        return QuantLinear(q=q, scales=scales, b=b, bits=bits, group_size=group_size)
+
+    bias = cfg.attention_bias
+    layers = {
+        "input_norm": jnp.ones((L, D), dtype),
+        "q": qlin(D, Qd, bias),
+        "k": qlin(D, Kd, bias),
+        "v": qlin(D, Kd, bias),
+        "o": qlin(Qd, D, False),
+        "post_norm": jnp.ones((L, D), dtype),
+        "gate": qlin(D, F, False),
+        "up": qlin(D, F, False),
+        "down": qlin(F, D, False),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+    cos, sin = precompute_rope(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
+    params = {
+        "embed": (jax.random.normal(next(ks), (V, D), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = Linear(
+            (jax.random.normal(next(ks), (D, V), jnp.float32) * D ** -0.5).astype(dtype)
+        )
+    return params
+
+
 # ----------------------------------------------------------------------
 # KV read/write for one layer, transparently handling INT8 KV caches
 # ----------------------------------------------------------------------

@@ -47,7 +47,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, group_size, k_tile
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_block(q_ref[:], s_ref[:], bits, group_size)
+    w = _dequant_block(q_ref[:], s_ref[0], bits, group_size)
     acc_ref[:] += jnp.dot(
         x_ref[:], w, preferred_element_type=jnp.float32
     )
@@ -69,6 +69,10 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
     k_tiles = k // block_k
     n_tiles = n // block_n
     sg = group_size
+    gpb = block_k // sg  # scale groups per K block
+    # [K/sg, N] → [k_tiles, gpb, N]: per-block scale slab whose middle dim
+    # equals the block's, satisfying the Mosaic (8,128)-or-full tile rule.
+    scales3 = scales.reshape(k_tiles, gpb, n)
 
     grid = (n_tiles, k_tiles)
     kernel = functools.partial(
@@ -83,7 +87,7 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
                 (block_k // pack, block_n), lambda nt, kt: (kt, nt), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (block_k // sg, block_n), lambda nt, kt: (kt, nt), memory_space=pltpu.VMEM
+                (1, gpb, block_n), lambda nt, kt: (kt, 0, nt), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM),
@@ -97,7 +101,7 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
             bytes_accessed=m * k * 2 + k_packed * n + (k // sg) * n * 4 + m * n * 2,
             transcendentals=0,
         ),
-    )(x, q, scales)
+    )(x, q, scales3)
 
 
 def _pick_blocks(m, k, n, bits, group_size):

@@ -1,0 +1,170 @@
+"""CLI: the user-facing flag surface the reference never had
+(reference driver: layers/src/iengine.cu:226-482 — no args, hardcoded
+prompt ids, weights path baked in, one token per getchar()).
+
+Subcommands:
+  qie generate  --model ... --prompt "..." [--ckpt DIR] [--bits 4|8|16] ...
+  qie serve     --model ... --port 8000 ...   (HTTP continuous batching)
+  qie bench     (delegates to bench.py's main)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="qwen2-0.5b",
+                   help="preset name or HF checkpoint dir")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir with safetensors (random init if absent)")
+    p.add_argument("--bits", type=int, default=16, choices=(4, 8, 16),
+                   help="weight-only quantization")
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel size (0 = all devices)")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel size")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--platform", default=None, choices=("tpu", "cpu"),
+                   help="force a JAX platform (cpu useful for testing)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of generation into DIR")
+
+
+def _add_sampling_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=50)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--repetition-penalty", type=float, default=1.0)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+
+
+def build_model(args):
+    """Shared model/params construction for generate and serve."""
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from qwen_inference_engine_tpu.config import ModelConfig
+    from qwen_inference_engine_tpu.loader.safetensors_loader import load_checkpoint
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.parallel.mesh import make_mesh
+    from qwen_inference_engine_tpu.parallel.sharding import shard_params
+    from qwen_inference_engine_tpu.quant.quantize import QuantConfig, quantize_params
+    from qwen_inference_engine_tpu.tokenizer import load_tokenizer
+
+    if args.ckpt:
+        cfg, params = load_checkpoint(args.ckpt)
+        tok = load_tokenizer(args.ckpt)
+    elif args.model == "tiny":
+        # byte-vocab smoke model (random weights, matches the ByteTokenizer)
+        from qwen_inference_engine_tpu.config import tiny_config
+
+        cfg = tiny_config(vocab_size=512)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        tok = load_tokenizer(None)
+    else:
+        cfg = ModelConfig.from_pretrained(args.model)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        tok = load_tokenizer(None)
+        print("note: no --ckpt given; using RANDOM weights", file=sys.stderr)
+
+    if args.bits < 16:
+        params = quantize_params(
+            params, QuantConfig(bits=args.bits, group_size=args.group_size))
+
+    mesh = None
+    n_dev = len(jax.devices())
+    tp = args.tp or (n_dev // args.dp)
+    if tp * args.dp > 1:
+        mesh = make_mesh((args.dp, tp))
+        params = shard_params(params, mesh)
+    return cfg, params, tok, mesh
+
+
+def cmd_generate(args) -> int:
+    import jax.numpy as jnp
+
+    from qwen_inference_engine_tpu.engine.engine import Engine
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    cfg, params, tok, mesh = build_model(args)
+    sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
+                        top_p=args.top_p,
+                        repetition_penalty=args.repetition_penalty,
+                        greedy=args.greedy)
+    prompts_text = args.prompt or ["Hello"]
+    if args.chat:
+        prompts_text = [
+            tok.apply_chat_template([{"role": "user", "content": t}])
+            for t in prompts_text
+        ]
+    prompt_ids = [tok.encode(t) for t in prompts_text]
+
+    eng = Engine(cfg, params, mesh=mesh, max_batch=max(1, len(prompt_ids)),
+                 max_seq=args.max_seq,
+                 kv_dtype=jnp.int8 if args.kv_bits == 8 else jnp.bfloat16,
+                 sampling=sp, seed=args.seed)
+    from qwen_inference_engine_tpu.utils.profiling import trace
+
+    t0 = time.perf_counter()
+    with trace(args.profile):
+        res = eng.generate(prompt_ids, max_new_tokens=args.max_new_tokens)
+    dt = time.perf_counter() - t0
+    for i, ids in enumerate(res.token_ids):
+        print(f"--- sequence {i} ({len(ids)} tokens) ---")
+        print(tok.decode(ids))
+    print(f"[ttft {res.ttft_s*1e3:.0f} ms | {res.decode_tokens_per_s:.1f} tok/s "
+          f"| total {dt:.2f}s]", file=sys.stderr)
+    if args.stats:
+        print(json.dumps(eng.metrics.snapshot()), file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from qwen_inference_engine_tpu.server.http import serve
+
+    return serve(args)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="qie",
+                                     description="TPU-native Qwen inference engine")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="batch text generation")
+    _add_model_args(g)
+    _add_sampling_args(g)
+    g.add_argument("--prompt", action="append", default=None,
+                   help="prompt text (repeatable for a batch)")
+    g.add_argument("--chat", action="store_true", help="wrap in chat template")
+    g.add_argument("--stats", action="store_true", help="dump metrics JSON")
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("serve", help="HTTP server with continuous batching")
+    _add_model_args(s)
+    _add_sampling_args(s)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--max-slots", type=int, default=8)
+    s.add_argument("--page-size", type=int, default=16)
+    s.add_argument("--num-pages", type=int, default=512)
+    s.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

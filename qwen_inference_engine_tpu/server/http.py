@@ -1,0 +1,183 @@
+"""HTTP serving frontend over the continuous-batching engine.
+
+A serving surface the reference lacks entirely (SURVEY.md §1: "no API/RPC
+layer").  Implemented with the stdlib http.server (no extra deps): a
+background scheduler thread drives ContinuousBatchingEngine.step() whenever
+work is queued; request threads block on a per-request event.
+
+Endpoints:
+  POST /generate   {"prompt": str | [ids], "max_new_tokens": int,
+                    "temperature"?, "top_k"?, "top_p"?,
+                    "repetition_penalty"?, "chat"?: bool}
+                → {"request_id", "text", "token_ids", "finish_reason"}
+  GET  /stats    → metrics snapshot (tok/s, TTFT percentiles, ...)
+  GET  /health   → {"status": "ok"}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+
+class _Waiter:
+    def __init__(self):
+        self.event = threading.Event()
+        self.result = None
+
+
+class Server:
+    def __init__(self, cfg, params, tok, mesh, args):
+        import jax.numpy as jnp
+
+        from qwen_inference_engine_tpu.engine.scheduler import (
+            ContinuousBatchingEngine,
+        )
+        from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+        self.tok = tok
+        self.cfg = cfg
+        self.default_sp = SamplingParams(
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            repetition_penalty=args.repetition_penalty, greedy=args.greedy)
+        self.engine = ContinuousBatchingEngine(
+            cfg, params, mesh=mesh,
+            max_slots=args.max_slots, page_size=args.page_size,
+            num_pages=args.num_pages,
+            max_pages_per_seq=max(4, args.max_seq // args.page_size),
+            kv_dtype=jnp.int8 if args.kv_bits == 8 else jnp.bfloat16,
+            sampling=self.default_sp, seed=args.seed)
+        self._lock = threading.Lock()
+        self._waiters: Dict[int, _Waiter] = {}
+        self._next_id = 0
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        while not self._stop:
+            with self._lock:
+                has_work = self.engine.has_work()
+            if not has_work:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            with self._lock:
+                finished = self.engine.step()
+                for f in finished:
+                    w = self._waiters.pop(f.request_id, None)
+                    if w is not None:
+                        w.result = f
+                        w.event.set()
+
+    def submit(self, prompt_ids, max_new_tokens, sampling) -> _Waiter:
+        from qwen_inference_engine_tpu.engine.scheduler import Request
+
+        w = _Waiter()
+        with self._lock:
+            rid = self._next_id
+            self._next_id += 1
+            self._waiters[rid] = w
+            self.engine.submit(Request(request_id=rid, prompt=list(prompt_ids),
+                                       max_new_tokens=max_new_tokens,
+                                       sampling=sampling))
+        self._wake.set()
+        return w
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=2)
+
+
+def _make_handler(server: Server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            if self.path == "/stats":
+                return self._json(200, server.engine.metrics.snapshot())
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"bad json: {e}"})
+
+            prompt = req.get("prompt")
+            if prompt is None:
+                return self._json(400, {"error": "missing 'prompt'"})
+            if isinstance(prompt, str):
+                text = prompt
+                if req.get("chat"):
+                    text = server.tok.apply_chat_template(
+                        [{"role": "user", "content": text}])
+                ids = server.tok.encode(text)
+            elif isinstance(prompt, list) and all(isinstance(x, int) for x in prompt):
+                ids = prompt
+            else:
+                return self._json(400, {"error": "'prompt' must be str or [int]"})
+            if not ids:
+                return self._json(400, {"error": "empty prompt"})
+
+            import dataclasses
+
+            sp = server.default_sp
+            overrides = {k: req[k] for k in
+                         ("temperature", "top_p", "repetition_penalty")
+                         if k in req}
+            meta = {k: req[k] for k in ("top_k", "greedy") if k in req}
+            if overrides or meta:
+                sp = dataclasses.replace(sp, **overrides, **meta)
+            max_new = int(req.get("max_new_tokens", 128))
+
+            w = server.submit(ids, max_new, sp)
+            if not w.event.wait(timeout=600):
+                return self._json(504, {"error": "generation timed out"})
+            f = w.result
+            return self._json(200, {
+                "request_id": f.request_id,
+                "token_ids": f.token_ids,
+                "text": server.tok.decode(f.token_ids),
+                "finish_reason": f.finish_reason,
+            })
+
+    return Handler
+
+
+def serve(args) -> int:
+    from qwen_inference_engine_tpu.server.cli import build_model
+
+    cfg, params, tok, mesh = build_model(args)
+    server = Server(cfg, params, tok, mesh, args)
+    httpd = ThreadingHTTPServer((args.host, args.port), _make_handler(server))
+    print(f"qie serving {cfg.name} on http://{args.host}:{args.port} "
+          f"(slots={args.max_slots}, pages={args.num_pages}x{args.page_size})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        httpd.server_close()
+    return 0

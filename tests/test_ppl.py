@@ -1,0 +1,44 @@
+"""Perplexity harness tests + quantization-accuracy gates (tiny-model
+analogue of the BASELINE.md WikiText-2 Δppl targets — same protocol,
+synthetic data; both arms see identical tokens so the delta is meaningful)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen_inference_engine_tpu.config import tiny_config
+from qwen_inference_engine_tpu.models.qwen import init_params
+from qwen_inference_engine_tpu.quant.quantize import QuantConfig, quantize_params
+from qwen_inference_engine_tpu.utils.ppl import perplexity
+
+CFG = tiny_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+RNG = np.random.default_rng(0)
+# structured synthetic stream (periodic patterns → model-independent but
+# deterministic; enough tokens for 8 windows of 128)
+TOKENS = ((np.arange(1024) * 7 + RNG.integers(0, 5, 1024)) % CFG.vocab_size).astype(np.int32)
+
+
+def test_perplexity_finite_and_reasonable():
+    ppl = perplexity(PARAMS, CFG, TOKENS, seq_len=128, batch_size=4)
+    assert np.isfinite(ppl)
+    # random model ≈ uniform over vocab → ppl near vocab_size
+    assert 10 < ppl < CFG.vocab_size * 3
+
+
+def test_perplexity_batch_invariance():
+    p1 = perplexity(PARAMS, CFG, TOKENS, seq_len=128, batch_size=1)
+    p4 = perplexity(PARAMS, CFG, TOKENS, seq_len=128, batch_size=4)
+    assert abs(p1 - p4) / p1 < 1e-4
+
+
+@pytest.mark.parametrize("bits,limit", [(8, 0.02), (4, 0.10)])
+def test_quantized_ppl_delta(bits, limit):
+    """Relative ppl increase from weight-only quantization stays small
+    (tiny-model proxy for the WikiText-2 Δ gates)."""
+    base = perplexity(PARAMS, CFG, TOKENS, seq_len=128)
+    qparams = quantize_params(PARAMS, QuantConfig(bits=bits, group_size=32))
+    qppl = perplexity(qparams, CFG, TOKENS, seq_len=128)
+    rel = abs(qppl - base) / base
+    assert rel < limit, (base, qppl, rel)
