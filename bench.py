@@ -63,11 +63,12 @@ def tree_bytes(tree) -> int:
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "32"))
     steps = int(os.environ.get("BENCH_STEPS", "16" if small else "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "128"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
+    q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
     warmup = 4 if small else 16
 
     from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
@@ -90,7 +91,8 @@ def main():
     if bits >= 16:
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
-        params = init_quantized_params(cfg, key, bits=bits, group_size=128)
+        params = init_quantized_params(cfg, key, bits=bits, group_size=128,
+                                       quantize_lm_head=q_lmhead)
     kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)

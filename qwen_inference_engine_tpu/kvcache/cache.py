@@ -82,17 +82,19 @@ class KVCache:
 )
 @dataclasses.dataclass
 class PagedKVCache:
-    """Paged cache: k/v pages ``[L, num_pages, page_size, Hk, D]``.
+    """Paged cache: k/v pages ``[L, num_pages, Hk, page_size, D]``.
 
-    Block tables (``[slots, max_pages_per_seq]`` int32 page ids) and
-    sequence lengths are scheduler state (engine/scheduler.py), not stored
-    here — pages are a global pool shared by all sequences, the TPU
-    equivalent of the reference's page free list.
+    Head-major within a page so the Pallas paged-attention kernel's block
+    is a lane-aligned ``[page_size, D]`` tile per (page, head).  Block
+    tables (``[slots, max_pages_per_seq]`` int32 page ids) and sequence
+    lengths are scheduler state (engine/scheduler.py), not stored here —
+    pages are a global pool shared by all sequences, the TPU equivalent of
+    the reference's page free list.
     """
 
     k_pages: jax.Array
     v_pages: jax.Array
-    k_scale: Optional[jax.Array]  # [L, num_pages, page_size, Hk] fp32
+    k_scale: Optional[jax.Array]  # [L, num_pages, Hk, page_size] fp32
     v_scale: Optional[jax.Array]
     page_size: int
 
@@ -113,7 +115,7 @@ class PagedKVCache:
         head_dim: int,
         dtype=jnp.bfloat16,
     ) -> "PagedKVCache":
-        shape = (num_layers, num_pages, page_size, num_kv_heads, head_dim)
+        shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
         quant = dtype == jnp.int8
         return PagedKVCache(
             k_pages=jnp.zeros(shape, dtype=dtype),
@@ -164,7 +166,7 @@ def paged_write(
     page_size: int,
 ) -> jax.Array:
     """Scatter ``new [B, T, Hk, D]`` at absolute ``positions [B, T]`` through
-    ``block_tables [B, max_pages]`` into the page pool ``[P, page, Hk, D]``.
+    ``block_tables [B, max_pages]`` into the page pool ``[P, Hk, page, D]``.
 
     Replaces the reference's per-token page-list walk + 2 cudaMemcpys
     (include_cuda.cu:233-279). Page *allocation* (growing a sequence's block
@@ -173,7 +175,9 @@ def paged_write(
     logical_page = positions // page_size  # [B, T]
     slot = positions % page_size
     page_ids = jnp.take_along_axis(block_tables, logical_page, axis=1)  # [B, T]
-    return pages_l.at[page_ids, slot].set(new.astype(pages_l.dtype))
+    # advanced indices (page_ids, slot) around the head slice broadcast to
+    # [B, T] and land in front: result dims [B, T, Hk, ...] match `new`.
+    return pages_l.at[page_ids, :, slot].set(new.astype(pages_l.dtype))
 
 
 def paged_read(
@@ -184,9 +188,10 @@ def paged_read(
     XLA fallback used by the jnp attention path; the Pallas ragged paged
     attention kernel consumes pages directly and skips this materialization.
     """
-    gathered = pages_l[block_tables]  # [B, max_pages, page, Hk, D]
-    B, NP, PS, Hk, D = gathered.shape
-    return gathered.reshape(B, NP * PS, Hk, D)
+    gathered = pages_l[block_tables]  # [B, max_pages, Hk, page, ...]
+    B, NP, Hk, PS = gathered.shape[:4]
+    rest = gathered.shape[4:]
+    return gathered.swapaxes(2, 3).reshape(B, NP * PS, Hk, *rest)
 
 
 def pages_required(seq_len: int, page_size: int) -> int:

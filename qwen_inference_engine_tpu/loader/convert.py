@@ -56,11 +56,19 @@ def params_from_state_dict(
 
     put = device_put or (lambda x: jnp.asarray(x))
 
+    from qwen_inference_engine_tpu.loader import native
+
+    def _t(m: np.ndarray) -> np.ndarray:
+        # materialized transpose: threaded C++ when libqie_native is built
+        if m.ndim == 2 and m.dtype.itemsize in (1, 2, 4, 8):
+            return native.transpose_2d(m)
+        return np.ascontiguousarray(m.T)
+
     def stack(fmt: str, transpose: bool = False):
         mats = []
         for i in range(cfg.num_layers):
             m = fetch(fmt.format(i=i))
-            mats.append(m.T if transpose else m)
+            mats.append(_t(m) if transpose else m)
         arr = np.stack(mats).astype(_np_dtype(dtype))
         return put(arr)
 
@@ -96,7 +104,7 @@ def params_from_state_dict(
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = Linear(
-            put(fetch("lm_head.weight").T.astype(_np_dtype(dtype)))
+            put(_t(fetch("lm_head.weight")).astype(_np_dtype(dtype)))
         )
     return params
 

@@ -83,7 +83,8 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
 
 
 def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
-                          group_size: int = 128, dtype=jnp.bfloat16) -> dict:
+                          group_size: int = 128, dtype=jnp.bfloat16,
+                          quantize_lm_head: bool = False) -> dict:
     """Random-init a pytree with projections already in packed INT8/INT4
     form — used by benchmarks so a 7B INT4 model never materializes in bf16.
     Values are drawn directly in quantized space with realistic scales."""
@@ -127,9 +128,16 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
         "rope_sin": sin,
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = Linear(
-            (jax.random.normal(next(ks), (D, V), jnp.float32) * D ** -0.5).astype(dtype)
-        )
+        if quantize_lm_head:
+            q = jax.random.randint(next(ks), (D // pack, V), -qmax, qmax + 1,
+                                   dtype=jnp.int8)
+            scales = jnp.full((D // group_size, V), (D ** -0.5) / qmax, jnp.float32)
+            params["lm_head"] = QuantLinear(q=q, scales=scales, b=None,
+                                            bits=bits, group_size=group_size)
+        else:
+            params["lm_head"] = Linear(
+                (jax.random.normal(next(ks), (D, V), jnp.float32) * D ** -0.5).astype(dtype)
+            )
     return params
 
 
@@ -192,6 +200,13 @@ def _read_layer_cache(cslices: dict, block_tables, page_size: Optional[int], dty
 # Forward
 # ----------------------------------------------------------------------
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def forward_hidden(
     params: dict,
     cfg: ModelConfig,
@@ -202,8 +217,14 @@ def forward_hidden(
     *,
     fresh_prefill: bool = False,
     use_pallas: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, object]:
-    """Run the transformer stack; returns (hidden [B,T,D], updated cache)."""
+    """Run the transformer stack; returns (hidden [B,T,D], updated cache).
+
+    attn_impl: "auto" (Pallas flash/paged kernels where supported on TPU,
+    XLA einsum attention otherwise), "xla" (always einsum), "pallas"
+    (force kernels — used by interpreter-mode tests).
+    """
     B, T = tokens.shape
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -213,6 +234,24 @@ def forward_hidden(
 
     paged = isinstance(cache, PagedKVCache)
     page_size = cache.page_size if paged else None
+
+    want_kernels = attn_impl == "pallas" or (attn_impl == "auto" and
+                                             use_pallas and _on_tpu())
+    use_flash = False
+    use_paged_kernel = False
+    if want_kernels:
+        from qwen_inference_engine_tpu.ops.flash_attention import (
+            flash_attention_supported,
+        )
+        from qwen_inference_engine_tpu.ops.paged_attention import (
+            paged_attention_supported,
+        )
+
+        if fresh_prefill:
+            use_flash = flash_attention_supported(
+                (B, T, Hq, Dh), (B, T, Hk, Dh))
+        elif paged and T == 1 and not cache.quantized:
+            use_paged_kernel = paged_attention_supported(Dh, page_size)
     if paged:
         cache_arrays = {"k": cache.k_pages, "v": cache.v_pages,
                         "k_scale": cache.k_scale, "v_scale": cache.v_scale}
@@ -238,7 +277,22 @@ def forward_hidden(
         if fresh_prefill:
             # self-contained prefill from position 0: attend within the new
             # block only — avoids reading the (empty) rest of the cache.
-            attn = gqa_attention(q, k, v, positions)
+            if use_flash:
+                from qwen_inference_engine_tpu.ops.flash_attention import (
+                    flash_attention,
+                )
+
+                attn = flash_attention(q, k, v)
+            else:
+                attn = gqa_attention(q, k, v, positions)
+        elif use_paged_kernel:
+            from qwen_inference_engine_tpu.ops.paged_attention import (
+                paged_decode_attention,
+            )
+
+            attn = paged_decode_attention(
+                q, cslices["k"], cslices["v"], block_tables,
+                positions[:, 0] + 1, page_size)
         else:
             k_all, v_all = _read_layer_cache(cslices, block_tables, page_size, dtype)
             attn = gqa_attention(q, k_all, v_all, positions)
@@ -288,6 +342,7 @@ def prefill(
     block_tables: Optional[jax.Array] = None,
     *,
     use_pallas: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, object]:
     """Fresh prefill from position 0. Returns (last-token logits [B,V], cache).
 
@@ -299,7 +354,7 @@ def prefill(
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     hidden, cache = forward_hidden(
         params, cfg, tokens, positions, cache, block_tables,
-        fresh_prefill=True, use_pallas=use_pallas,
+        fresh_prefill=True, use_pallas=use_pallas, attn_impl=attn_impl,
     )
     last_idx = (lengths - 1).astype(jnp.int32)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
@@ -315,11 +370,12 @@ def decode_step(
     block_tables: Optional[jax.Array] = None,
     *,
     use_pallas: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, object]:
     """One decode step for every sequence. Returns (logits [B,V], cache)."""
     hidden, cache = forward_hidden(
         params, cfg, tokens[:, None], positions[:, None], cache, block_tables,
-        fresh_prefill=False, use_pallas=use_pallas,
+        fresh_prefill=False, use_pallas=use_pallas, attn_impl=attn_impl,
     )
     return compute_logits(params, hidden[:, 0], use_pallas), cache
 
@@ -332,12 +388,13 @@ def score_logits(
     block_tables: Optional[jax.Array] = None,
     *,
     use_pallas: bool = True,
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Full [B, T, V] fp32 logits for perplexity evaluation (utils/ppl.py)."""
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     hidden, _ = forward_hidden(
         params, cfg, tokens, positions, cache, block_tables,
-        fresh_prefill=True, use_pallas=use_pallas,
+        fresh_prefill=True, use_pallas=use_pallas, attn_impl=attn_impl,
     )
     return compute_logits(params, hidden, use_pallas)

@@ -13,12 +13,15 @@ north-star kernels, absent from the pure-bf16 reference) are stored packed;
 the matmul dispatches to a Pallas fused dequant-matmul kernel on TPU with a
 pure-XLA fallback elsewhere.
 
-INT4 packing layout: along the reduction (in) axis, logical rows are packed
-two-per-byte *within each group*: byte row ``g*G/2 + r`` of group ``g`` holds
-logical rows ``g*G + r`` (low nibble) and ``g*G + G/2 + r`` (high nibble).
-Unpacking a group is therefore ``concat([lo, hi], axis=0)`` — layout chosen
-so a Pallas kernel can unpack a K-block with two shifts and one concat,
-keeping the MXU fed.
+INT4 packing layout (group-pair split): scale groups along the reduction
+axis are packed in adjacent pairs — packed byte row ``p*G + r`` holds
+logical row ``p*2G + r`` (group ``2p``, low nibble) and ``p*2G + G + r``
+(group ``2p+1``, high nibble).  Chosen for the TPU kernel: each nibble
+plane of a packed slab is exactly ONE whole scale group of G=128 rows, so
+(a) the activation slice it contracts with is lane-aligned (128 columns),
+(b) the group's scale can be applied AFTER the dot to the tiny [M, bn]
+partial product instead of to the [G, bn] weights (G× less VPU work), and
+(c) unpacking is two shifts with no cross-sublane shuffles.
 """
 
 from __future__ import annotations
@@ -75,21 +78,28 @@ class QuantLinear:
         return self.q.shape[-1]
 
 
+def unpack_nibbles(packed: jax.Array):
+    """(low, high) sign-extended int4 planes of an int8 array.
+
+    Mosaic/TPU has no sub-32-bit vector shifts; sign-extend in i32."""
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
 def unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
     """Unpack ``[K//2, N]`` int8 nibbles to ``[K, N]`` int8 in [-8, 7].
 
-    Inverse of quant.pack_int4; group-local two-row-per-byte layout.
+    Inverse of quant.pack_int4 (group-pair layout, see module docstring).
     """
     kh, n = packed.shape[-2], packed.shape[-1]
-    g2 = group_size // 2
-    # Mosaic/TPU has no sub-32-bit vector shifts; sign-extend nibbles in i32.
-    p32 = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
-    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.int8)
+    g = group_size
+    lo, hi = unpack_nibbles(packed)
     lead = packed.shape[:-2]
-    lo = lo.reshape(*lead, kh // g2, g2, n)
-    hi = hi.reshape(*lead, kh // g2, g2, n)
-    out = jnp.concatenate([lo, hi], axis=-2)  # [..., groups, group_size, n]
+    lo = lo.reshape(*lead, kh // g, 1, g, n)
+    hi = hi.reshape(*lead, kh // g, 1, g, n)
+    out = jnp.concatenate([lo, hi], axis=-3)  # [..., pairs, 2, g, n]
     return out.reshape(*lead, kh * 2, n)
 
 
@@ -125,13 +135,11 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
     gs = k // groups
     lead = x.shape[:-1]
     xg = x.reshape(-1, groups, gs).astype(jnp.float32)
-    qg = q.reshape(groups, gs, n)
-    # [M, groups, n] per-group partial products, MXU-friendly batched dot.
-    partial_y = jnp.einsum(
-        "mgk,gkn->mgn", xg, qg.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    y = jnp.sum(partial_y * lin.scales[None, :, :], axis=1)
+    qg = q.reshape(groups, gs, n).astype(jnp.float32)
+    # fold scales into the weight operand; XLA fuses the multiply into the
+    # contraction so no [m, groups, n] intermediate is materialized.
+    wg = qg * lin.scales[:, None, :]
+    y = jnp.einsum("mgk,gkn->mn", xg, wg, preferred_element_type=jnp.float32)
     return y.reshape(*lead, n).astype(x.dtype)
 
 

@@ -1,14 +1,28 @@
 """Pallas fused weight-dequant (INT8/INT4) matmul — the north-star kernel.
 
-Computes ``y[M,N] = x[M,K] @ dequant(Wq)[K,N]`` with the int weights
-dequantized **in VMEM, per K×N block**, so HBM traffic is the packed int
-bytes (+ scales), never the bf16 weight.  At decode (M small) every weight
-byte is read exactly once per step, so this kernel sets the decode
-throughput roofline (BASELINE.md: ≥85% of INT4 roofline).
+Computes ``y[M,N] = x[M,K] @ dequant(Wq)[K,N]`` reading only the packed int
+bytes (+ scales) from HBM.  At decode (M small) every weight byte is read
+exactly once per step, so this kernel sets the decode throughput roofline
+(BASELINE.md: ≥85% of INT4 roofline).
 
-Grid: (N/BN, K/BK) with K innermost, accumulating into an fp32 VMEM
-scratch; the M axis stays un-tiled (decode M ≤ batch, prefill M ≤ a few
-thousand rows — fits VMEM alongside the weight block).
+Design notes (what makes it fast at small M):
+* **post-dot scaling** — group scales multiply the ``[bm, bn]`` partial
+  product after the MXU contraction, not the ``[group, bn]`` weight slab:
+  ``y += (x_g @ w_g) * s_g``.  At decode M this is ~group_size× less VPU
+  work than scaling the weights, leaving only the unavoidable int→bf16
+  cast per weight element.
+* **group-pair INT4 layout** (see ops/linear.py) — each nibble plane of a
+  packed slab is one whole scale group, so its activation slice is a
+  lane-aligned 128-column window of x and unpacking needs no shuffles:
+  ``y += (x_lo @ lo(q)) * s_{2p} + (x_hi @ hi(q)) * s_{2p+1}``.
+* **large-ish tiles** — empirically on v5e (scripts/sweep_qmm.py) bn=512
+  with bk up to 2048 wins; grid cells cost ~µs fixed overhead but very
+  wide tiles thrash VMEM.
+* **M-tiling** — prefill M (batch×tokens) is blocked at 256 rows so the
+  same kernel serves decode (M=8..64, single tile) and prefill (M in the
+  thousands) without VMEM blowups.
+
+Grid: (M/bm, N/bn, K/bk), K innermost, fp32 VMEM accumulator.
 """
 
 from __future__ import annotations
@@ -23,49 +37,52 @@ from jax.experimental.pallas import tpu as pltpu
 from qwen_inference_engine_tpu.ops import linear as _linear
 
 
-def _dequant_block(q_blk, s_blk, bits: int, group_size: int) -> jax.Array:
-    """Unpack+scale one weight block to bf16 in VMEM.
-
-    q_blk: int8 [BKp, BN] (BKp = BK for int8, BK//2 packed rows for int4)
-    s_blk: fp32 [BK//group_size, BN]
-    """
-    if bits == 4:
-        w = _linear.unpack_int4(q_blk, group_size)  # [BK, BN] int8 in [-8,7]
-    else:
-        w = q_blk
-    bk, bn = w.shape
-    groups = s_blk.shape[0]
-    wf = w.astype(jnp.float32).reshape(groups, bk // groups, bn)
-    wf = wf * s_blk[:, None, :]
-    return wf.reshape(bk, bn).astype(jnp.bfloat16)
-
-
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, group_size, k_tiles):
-    kt = pl.program_id(1)
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, group_size,
+                k_tiles, block_k):
+    kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_block(q_ref[:], s_ref[0], bits, group_size)
-    acc_ref[:] += jnp.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32
-    )
+    gs = group_size
+    acc = acc_ref[:]
+    if bits == 8:
+        for g in range(block_k // gs):
+            w = q_ref[g * gs:(g + 1) * gs, :].astype(jnp.bfloat16)
+            part = jnp.dot(x_ref[:, g * gs:(g + 1) * gs], w,
+                           preferred_element_type=jnp.float32)
+            acc = acc + part * s_ref[0, g]
+    else:
+        # packed slab rows [p*gs, (p+1)*gs) hold groups 2p (lo) / 2p+1 (hi)
+        for p in range(block_k // (2 * gs)):
+            slab = q_ref[p * gs:(p + 1) * gs, :]
+            lo, hi = _linear.unpack_nibbles(slab)
+            x_lo = x_ref[:, (2 * p) * gs:(2 * p + 1) * gs]
+            x_hi = x_ref[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
+            part_lo = jnp.dot(x_lo, lo.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            part_hi = jnp.dot(x_hi, hi.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            acc = acc + part_lo * s_ref[0, 2 * p] + part_hi * s_ref[0, 2 * p + 1]
+    acc_ref[:] = acc
 
     @pl.when(kt == k_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_k", "block_n"))
-def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_m",
+                                             "block_k", "block_n"))
+def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_m, block_k, block_n):
     m, k = x.shape
     n = q.shape[-1]
     k_packed = q.shape[0]
     pack = 2 if bits == 4 else 1
     assert k_packed * pack == k, (k_packed, pack, k)
-    assert k % block_k == 0 and n % block_n == 0, (k, n, block_k, block_n)
+    assert m % block_m == 0 and k % block_k == 0 and n % block_n == 0
     assert block_k % group_size == 0
+    m_tiles = m // block_m
     k_tiles = k // block_k
     n_tiles = n // block_n
     sg = group_size
@@ -74,27 +91,27 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
     # equals the block's, satisfying the Mosaic (8,128)-or-full tile rule.
     scales3 = scales.reshape(k_tiles, gpb, n)
 
-    grid = (n_tiles, k_tiles)
+    grid = (m_tiles, n_tiles, k_tiles)
     kernel = functools.partial(
-        _qmm_kernel, bits=bits, group_size=sg, k_tiles=k_tiles
+        _qmm_kernel, bits=bits, group_size=sg, k_tiles=k_tiles, block_k=block_k
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, block_k), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_k // pack, block_n), lambda nt, kt: (kt, nt), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, gpb, block_n), lambda nt, kt: (kt, 0, nt), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt: (mt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k // pack, block_n), lambda mt, nt, kt: (kt, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpb, block_n), lambda mt, nt, kt: (kt, 0, nt),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, block_n), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mt, nt, kt: (mt, nt),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
@@ -104,29 +121,48 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_k, block_n):
     )(x, q, scales3)
 
 
+def _divisors_desc(n, lo, hi):
+    return [d for d in range(min(hi, n), lo - 1, -1) if n % d == 0]
+
+
 def _pick_blocks(m, k, n, bits, group_size):
-    """Pick (block_k, block_n) that divide (k, n), respect group alignment,
-    and keep x-block + w-block + acc within a conservative VMEM budget."""
+    """(block_m, block_k, block_n) dividing (m, k, n), group/pack aligned,
+    within a VMEM budget (double-buffered). Empirical on v5e
+    (scripts/sweep_qmm.py): bn=512, bk up to ~2048."""
     pack = 2 if bits == 4 else 1
+    pair = 2 * group_size if bits == 4 else group_size
+    bm = m if m <= 256 else next(
+        (d for d in range(256, 7, -8) if m % d == 0), None)
+    if bm is None:
+        return None
 
-    def fits(bk, bn):
-        x_b = m * bk * 2
-        w_b = (bk // pack) * bn + (bk // group_size) * bn * 4 + bk * bn * 2
-        acc = m * bn * 4 + m * bn * 2
-        return (x_b + w_b + acc) * 2 < 10 * 1024 * 1024  # double-buffered
+    def vmem(bk, bn):
+        x_b = bm * bk * 2
+        q_b = (bk // pack) * bn
+        s_b = (bk // group_size) * bn * 4
+        w_slab = group_size * bn * 2 * (2 if bits == 4 else 1)
+        acc = bm * bn * 4 + bm * bn * 2
+        return (x_b + q_b + s_b) * 2 + w_slab + acc  # in/out double-buffered
 
-    for bn in (1024, 512, 256, 128):
-        if n % bn:
+    best = None
+    for bn in _divisors_desc(n, 128, 512):
+        if bn % 128:
             continue
-        for bk in (2048, 1024, 512, 256, group_size):
-            if k % bk or bk % group_size or (bits == 4 and bk % (2 * group_size)):
+        for bk in _divisors_desc(k, pair, 2048):
+            if bk % pair:
                 continue
-            if fits(bk, bn):
-                return bk, bn
-    return None
+            if vmem(bk, bn) > 10 * 1024 * 1024:
+                continue
+            score = (-(bk * bn), -bn)
+            if best is None or score < best[0]:
+                best = (score, bk, bn)
+            break  # largest feasible bk for this bn
+    if best is None:
+        return None
+    return bm, best[1], best[2]
 
 
-def quant_matmul_pallas(x: jax.Array, lin) -> jax.Array:
+def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
     """x [..., K] @ QuantLinear -> [..., N]; falls back to the XLA path for
     shapes the kernel doesn't tile (unaligned K/N)."""
     k = lin.in_features
@@ -135,18 +171,21 @@ def quant_matmul_pallas(x: jax.Array, lin) -> jax.Array:
     m = 1
     for d in lead:
         m *= d
-    # pad M up to the fp32-sublane multiple the kernel output needs
+    # pad M up to the sublane multiple the kernel blocks need
     m_pad = max(8, -(-m // 8) * 8)
-    blocks = _pick_blocks(m_pad, k, n, lin.bits, lin.group_size)
+    if block_override is not None:
+        blocks = (m_pad, *block_override)
+    else:
+        blocks = _pick_blocks(m_pad, k, n, lin.bits, lin.group_size)
     if blocks is None:
         return _linear._quant_matmul_xla(x, lin)
-    bk, bn = blocks
+    bm, bk, bn = blocks
     x2 = x.reshape(m, k).astype(jnp.bfloat16)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     y = _quant_matmul_2d(
         x2, lin.q, lin.scales, bits=lin.bits, group_size=lin.group_size,
-        block_k=bk, block_n=bn,
+        block_m=bm, block_k=bk, block_n=bn,
     )
     if m_pad != m:
         y = y[:m]

@@ -41,16 +41,17 @@ class QuantConfig:
 def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
     """Pack ``[K, N]`` int8 values in [-8,7] to ``[K//2, N]`` bytes.
 
-    Within each group of ``group_size`` logical rows, row ``r`` of the first
-    half goes to the low nibble and row ``r + group_size//2`` to the high
-    nibble of packed row ``g*group_size//2 + r`` — so unpacking is two
-    shifts + concat (ops/linear.py:unpack_int4).
+    Group-pair layout: adjacent scale groups 2p (→ low nibbles) and 2p+1
+    (→ high nibbles) share packed rows ``p*G..(p+1)*G`` — each nibble plane
+    of a slab is one whole group, enabling lane-aligned activation slices
+    and post-dot scaling in the Pallas kernel (ops/linear.py docstring).
+    Requires K % (2*group_size) == 0.
     """
     k, n = q.shape[-2], q.shape[-1]
-    assert k % group_size == 0 and group_size % 2 == 0
+    assert k % (2 * group_size) == 0, (k, group_size)
     lead = q.shape[:-2]
-    g2 = group_size // 2
-    qg = q.reshape(*lead, k // group_size, 2, g2, n)
+    g = group_size
+    qg = q.reshape(*lead, k // (2 * g), 2, g, n)
     lo = qg[..., 0, :, :].astype(jnp.uint8) & 0xF
     hi = (qg[..., 1, :, :].astype(jnp.uint8) & 0xF) << 4
     packed = (lo | hi).astype(jnp.int8)
@@ -69,6 +70,9 @@ def quantize_linear(lin: Linear, bits: int, group_size: Optional[int] = None) ->
         qmax = 127.0
     else:
         gs = group_size or 128
+        # group-pair packing needs an even group count; shrink gs to fit
+        while gs > 2 and (k % gs or (k // gs) % 2):
+            gs //= 2
         qmax = 7.0
     assert k % gs == 0, (k, gs)
     groups = k // gs

@@ -34,7 +34,7 @@ def test_paged_write_read_roundtrip():
     P, PS, H, D = 8, 4, 2, 8
     B, T = 2, 6
     rng = np.random.default_rng(1)
-    pages = jnp.zeros((P, PS, H, D), jnp.float32)
+    pages = jnp.zeros((P, H, PS, D), jnp.float32)
     block_tables = jnp.asarray([[3, 1, 0, 0], [5, 2, 7, 0]], jnp.int32)
     new = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
