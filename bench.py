@@ -67,6 +67,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "16" if small else "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "128"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
+    gs = int(os.environ.get("BENCH_GS", "256"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
     q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
     warmup = 4 if small else 16
@@ -83,7 +84,7 @@ def main():
 
     cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
     max_seq = prompt_len + steps + 16
-    log(f"bench: {cfg.name} INT{bits} kv={kv_bits} batch={batch} "
+    log(f"bench: {cfg.name} INT{bits} gs={gs} kv={kv_bits} batch={batch} "
         f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
 
     t0 = time.perf_counter()
@@ -91,7 +92,7 @@ def main():
     if bits >= 16:
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
-        params = init_quantized_params(cfg, key, bits=bits, group_size=128,
+        params = init_quantized_params(cfg, key, bits=bits, group_size=gs,
                                        quantize_lm_head=q_lmhead)
     kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,

@@ -97,8 +97,13 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
     pack = 2 if bits == 4 else 1
 
     def qlin(kin: int, out: int, bias: bool) -> QuantLinear:
-        q = jax.random.randint(next(ks), (L, kin // pack, out), -qmax, qmax + 1,
-                               dtype=jnp.int8)
+        if bits == 4:
+            # random packed bytes: full int8 range decodes to full nibble range
+            q = jax.random.randint(next(ks), (L, kin // pack, out), -128, 128,
+                                   dtype=jnp.int8)
+        else:
+            q = jax.random.randint(next(ks), (L, kin // pack, out), -qmax,
+                                   qmax + 1, dtype=jnp.int8)
         scales = jnp.full((L, kin // group_size, out), (kin ** -0.5) / qmax,
                           jnp.float32)
         b = jnp.zeros((L, out), dtype) if bias else None
@@ -129,7 +134,8 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
     }
     if not cfg.tie_word_embeddings:
         if quantize_lm_head:
-            q = jax.random.randint(next(ks), (D // pack, V), -qmax, qmax + 1,
+            lohi = (-128, 128) if bits == 4 else (-qmax, qmax + 1)
+            q = jax.random.randint(next(ks), (D // pack, V), *lohi,
                                    dtype=jnp.int8)
             scales = jnp.full((D // group_size, V), (D ** -0.5) / qmax, jnp.float32)
             params["lm_head"] = QuantLinear(q=q, scales=scales, b=None,

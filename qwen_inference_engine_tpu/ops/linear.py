@@ -13,15 +13,19 @@ north-star kernels, absent from the pure-bf16 reference) are stored packed;
 the matmul dispatches to a Pallas fused dequant-matmul kernel on TPU with a
 pure-XLA fallback elsewhere.
 
-INT4 packing layout (group-pair split): scale groups along the reduction
+INT4 packing layout (plane packing): scale groups along the reduction
 axis are packed in adjacent pairs — packed byte row ``p*G + r`` holds
-logical row ``p*2G + r`` (group ``2p``, low nibble) and ``p*2G + G + r``
-(group ``2p+1``, high nibble).  Chosen for the TPU kernel: each nibble
-plane of a packed slab is exactly ONE whole scale group of G=128 rows, so
-(a) the activation slice it contracts with is lane-aligned (128 columns),
-(b) the group's scale can be applied AFTER the dot to the tiny [M, bn]
-partial product instead of to the [G, bn] weights (G× less VPU work), and
-(c) unpacking is two shifts with no cross-sublane shuffles.
+logical row ``p*2G + r`` (group ``2p``, LOW nibble) and ``p*2G + G + r``
+(group ``2p+1``, HIGH nibble), with byte encoding
+``byte = 16*hi + (lo+8)`` (hi two's-complement, lo excess-8; byte range
+exactly [-128, 127]).  Chosen for the TPU kernel (ops/quant_matmul.py):
+(a) each nibble plane of a packed k-tile is exactly ONE whole scale
+    group, so the two mixed-input MXU dots per tile need no shuffles and
+    the group scale multiplies the tiny [M, bn] partial AFTER the dot;
+(b) unpack is 3 int ops on the bytes: ``lo+8 = byte & 0xF`` and
+    ``hi = (byte - (byte & 0xF)) >> 4`` (arithmetic shift, sign-exact);
+(c) the lo plane's +8 offset folds into an O(M) post-dot correction
+    ``- 8 * rowsum(x_even) * scale`` instead of per-value arithmetic.
 """
 
 from __future__ import annotations
@@ -79,12 +83,13 @@ class QuantLinear:
 
 
 def unpack_nibbles(packed: jax.Array):
-    """(low, high) sign-extended int4 planes of an int8 array.
+    """(low, high) signed int4 planes of ``byte = 16*hi + (lo+8)``.
 
-    Mosaic/TPU has no sub-32-bit vector shifts; sign-extend in i32."""
+    Mosaic/TPU has no sub-32-bit vector shifts; decode in i32."""
     p32 = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    l8 = jnp.bitwise_and(p32, 0xF)
+    lo = l8 - 8
+    hi = jnp.right_shift(p32 - l8, 4)
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 

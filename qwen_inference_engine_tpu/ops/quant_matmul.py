@@ -3,26 +3,32 @@
 Computes ``y[M,N] = x[M,K] @ dequant(Wq)[K,N]`` reading only the packed int
 bytes (+ scales) from HBM.  At decode (M small) every weight byte is read
 exactly once per step, so this kernel sets the decode throughput roofline
-(BASELINE.md: ≥85% of INT4 roofline).
+(BASELINE.md: >=85% of INT4 roofline).
 
-Design notes (what makes it fast at small M):
-* **post-dot scaling** — group scales multiply the ``[bm, bn]`` partial
-  product after the MXU contraction, not the ``[group, bn]`` weight slab:
-  ``y += (x_g @ w_g) * s_g``.  At decode M this is ~group_size× less VPU
-  work than scaling the weights, leaving only the unavoidable int→bf16
-  cast per weight element.
-* **group-pair INT4 layout** (see ops/linear.py) — each nibble plane of a
-  packed slab is one whole scale group, so its activation slice is a
-  lane-aligned 128-column window of x and unpacking needs no shuffles:
-  ``y += (x_lo @ lo(q)) * s_{2p} + (x_hi @ hi(q)) * s_{2p+1}``.
-* **large-ish tiles** — empirically on v5e (scripts/sweep_qmm.py) bn=512
-  with bk up to 2048 wins; grid cells cost ~µs fixed overhead but very
-  wide tiles thrash VMEM.
-* **M-tiling** — prefill M (batch×tokens) is blocked at 256 rows so the
-  same kernel serves decode (M=8..64, single tile) and prefill (M in the
-  thousands) without VMEM blowups.
+Design (measured on v5e via scripts/probe_mixed_dot.py / probe_kf3.py):
 
-Grid: (M/bm, N/bn, K/bk), K innermost, fp32 VMEM accumulator.
+* **mixed-input MXU dots** — the MXU consumes int8 operands directly
+  (``dot_general(bf16, int8) -> f32``), so the packed weights NEVER touch
+  the VPU as per-value converts.  Every earlier design that dequantized
+  weight blocks elementwise (int->bf16 cast + scale multiply) was pinned at
+  ~530 Gvalues/s of VPU convert throughput; mixed dots run at the MXU pass
+  floor (~92 us for a 3584x18944 block at M<=128, = XLA's own int8 speed).
+* **plane packing, one scale group per nibble plane** — packed byte
+  ``= 16*hi + (lo+8)`` where for k-tile t the low nibbles hold logical
+  scale group ``2t`` and the high nibbles group ``2t+1`` (group_size =
+  block_k/2).  Unpack is 3 cheap int32 ops on the packed *bytes* (and, &,
+  shift), then TWO mixed dots per tile; group scales multiply the [M, bn]
+  partial products AFTER the dot (f32-exact), with the lo plane's excess-8
+  offset corrected by ``8 * rowsum(x_even)`` — O(M) work, not O(K*N).
+* **wide N blocks** — per-grid-cell fixed overhead (~0.4 us) dominates at
+  fine group sizes; bn up to ~4736 amortizes it (gs=256 gate matmul:
+  141 us at bn=512 -> 94.9 us at bn=4736, the MXU floor).
+
+Grid: (M/bm, N/bn, K/bk), K innermost, f32 VMEM accumulator.
+
+Reference lineage: replaces the WMMA bf16 GEMM of the reference
+(layers/src/matrix_mul.cu:165-288) with the quantized path the reference
+never had (its repo is pure bf16; INT4/INT8 is the BASELINE.json mandate).
 """
 
 from __future__ import annotations
@@ -37,73 +43,63 @@ from jax.experimental.pallas import tpu as pltpu
 from qwen_inference_engine_tpu.ops import linear as _linear
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits, group_size,
-                k_tiles, block_k):
+# ----------------------------------------------------------------------
+# INT4: plane-packed, two mixed dots per k-tile, post-dot group scales
+# ----------------------------------------------------------------------
+
+def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles):
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    gs = group_size
-    acc = acc_ref[:]
-    if bits == 8:
-        for g in range(block_k // gs):
-            w = q_ref[g * gs:(g + 1) * gs, :].astype(jnp.bfloat16)
-            part = jnp.dot(x_ref[:, g * gs:(g + 1) * gs], w,
-                           preferred_element_type=jnp.float32)
-            acc = acc + part * s_ref[0, g]
-    else:
-        # packed slab rows [p*gs, (p+1)*gs) hold groups 2p (lo) / 2p+1 (hi)
-        for p in range(block_k // (2 * gs)):
-            slab = q_ref[p * gs:(p + 1) * gs, :]
-            lo, hi = _linear.unpack_nibbles(slab)
-            x_lo = x_ref[:, (2 * p) * gs:(2 * p + 1) * gs]
-            x_hi = x_ref[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
-            part_lo = jnp.dot(x_lo, lo.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-            part_hi = jnp.dot(x_hi, hi.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-            acc = acc + part_lo * s_ref[0, 2 * p] + part_hi * s_ref[0, 2 * p + 1]
-    acc_ref[:] = acc
+    # byte = 16*hi + (lo+8): '&' gives lo+8 in [0,15]; subtract-then-shift
+    # gives hi sign-correct (arithmetic shift of a multiple of 16).
+    b = q_ref[:].astype(jnp.int32)
+    l8 = jnp.bitwise_and(b, 0xF)
+    lo = l8.astype(jnp.int8)                       # lo+8
+    hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+    pe = jax.lax.dot_general(xe_ref[:], lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    po = jax.lax.dot_general(xo_ref[:], hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # excess-8 correction for the lo plane: dot(x, lo+8) - 8*rowsum(x)
+    sxe = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True) * 8.0
+    acc_ref[:] += (pe - sxe) * s_ref[0, 0:1, :] + po * s_ref[0, 1:2, :]
 
     @pl.when(kt == k_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_m",
-                                             "block_k", "block_n"))
-def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_m, block_k, block_n):
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m", "block_n"))
+def _quant_matmul4(x, q, scales, *, group_size, block_m, block_n):
     m, k = x.shape
     n = q.shape[-1]
-    k_packed = q.shape[0]
-    pack = 2 if bits == 4 else 1
-    assert k_packed * pack == k, (k_packed, pack, k)
-    assert m % block_m == 0 and k % block_k == 0 and n % block_n == 0
-    assert block_k % group_size == 0
-    m_tiles = m // block_m
-    k_tiles = k // block_k
-    n_tiles = n // block_n
-    sg = group_size
-    gpb = block_k // sg  # scale groups per K block
-    # [K/sg, N] → [k_tiles, gpb, N]: per-block scale slab whose middle dim
-    # equals the block's, satisfying the Mosaic (8,128)-or-full tile rule.
-    scales3 = scales.reshape(k_tiles, gpb, n)
+    gs = group_size
+    bk = 2 * gs
+    assert k % bk == 0 and m % block_m == 0 and n % block_n == 0
+    k_tiles = k // bk
+    # parity split: even groups -> xe columns, odd groups -> xo columns;
+    # each is [m, k/2] with tile t's slice at columns [t*gs, (t+1)*gs).
+    xm = x.reshape(m, k_tiles, 2, gs)
+    xe = xm[:, :, 0, :].reshape(m, k // 2)
+    xo = xm[:, :, 1, :].reshape(m, k // 2)
+    scales3 = scales.reshape(k_tiles, 2, n)
 
-    grid = (m_tiles, n_tiles, k_tiles)
-    kernel = functools.partial(
-        _qmm_kernel, bits=bits, group_size=sg, k_tiles=k_tiles, block_k=block_k
-    )
+    kernel = functools.partial(_qmm4_kernel, k_tiles=k_tiles)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(m // block_m, n // block_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt: (mt, kt),
+            pl.BlockSpec((block_m, gs), lambda mt, nt, kt: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k // pack, block_n), lambda mt, nt, kt: (kt, nt),
+            pl.BlockSpec((block_m, gs), lambda mt, nt, kt: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gpb, block_n), lambda mt, nt, kt: (kt, 0, nt),
+            pl.BlockSpec((gs, block_n), lambda mt, nt, kt: (kt, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, block_n), lambda mt, nt, kt: (kt, 0, nt),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda mt, nt, kt: (mt, nt),
@@ -115,78 +111,166 @@ def _quant_matmul_2d(x, q, scales, *, bits, group_size, block_m, block_k, block_
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + k_packed * n + (k // sg) * n * 4 + m * n * 2,
+            bytes_accessed=m * k * 2 + (k // 2) * n + scales.size * 4 + m * n * 2,
             transcendentals=0,
         ),
-    )(x, q, scales3)
+    )(xe, xo, q, scales3)
 
 
-def _divisors_desc(n, lo, hi):
-    return [d for d in range(min(hi, n), lo - 1, -1) if n % d == 0]
+# ----------------------------------------------------------------------
+# INT8: single mixed dot per k-tile; scales per tile (gs == bk) or in the
+# epilogue (per-channel, gs == K)
+# ----------------------------------------------------------------------
+
+def _qmm8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles, per_tile):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(x_ref[:], q_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if per_tile:
+        acc_ref[:] += part * s_ref[0]
+    else:
+        acc_ref[:] += part
+
+    @pl.when(kt == k_tiles - 1)
+    def _():
+        if per_tile:
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        else:
+            o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
 
 
-def _pick_blocks(m, k, n, bits, group_size):
-    """(block_m, block_k, block_n) dividing (m, k, n), group/pack aligned,
-    within a VMEM budget (double-buffered). Empirical on v5e
-    (scripts/sweep_qmm.py): bn=512, bk up to ~2048."""
-    pack = 2 if bits == 4 else 1
-    pair = 2 * group_size if bits == 4 else group_size
-    bm = m if m <= 256 else next(
-        (d for d in range(256, 7, -8) if m % d == 0), None)
-    if bm is None:
-        return None
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_k", "block_n"))
+def _quant_matmul8(x, q, scales, *, group_size, block_m, block_k, block_n):
+    m, k = x.shape
+    n = q.shape[-1]
+    groups = scales.shape[0]
+    assert m % block_m == 0 and k % block_k == 0 and n % block_n == 0
+    k_tiles = k // block_k
+    per_tile = groups > 1
+    if per_tile:
+        assert groups == k_tiles, (groups, k_tiles)
+        s3 = scales.reshape(k_tiles, 1, n)
+        s_spec = pl.BlockSpec((1, 1, block_n), lambda mt, nt, kt: (kt, 0, nt),
+                              memory_space=pltpu.VMEM)
+    else:
+        s3 = scales.reshape(1, 1, n)
+        s_spec = pl.BlockSpec((1, 1, block_n), lambda mt, nt, kt: (0, 0, nt),
+                              memory_space=pltpu.VMEM)
 
-    def vmem(bk, bn):
-        x_b = bm * bk * 2
-        q_b = (bk // pack) * bn
-        s_b = (bk // group_size) * bn * 4
-        w_slab = group_size * bn * 2 * (2 if bits == 4 else 1)
-        acc = bm * bn * 4 + bm * bn * 2
-        return (x_b + q_b + s_b) * 2 + w_slab + acc  # in/out double-buffered
+    kernel = functools.partial(_qmm8_kernel, k_tiles=k_tiles, per_tile=per_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // block_m, n // block_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt: (mt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda mt, nt, kt: (kt, nt),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mt, nt, kt: (mt, nt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n + scales.size * 4 + m * n * 2,
+            transcendentals=0,
+        ),
+    )(x, q, s3)
 
-    best = None
-    for bn in _divisors_desc(n, 128, 512):
-        if bn % 128:
+
+# ----------------------------------------------------------------------
+# Block selection + entry point
+# ----------------------------------------------------------------------
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _pick_bn(n: int, bm: int, weight_rows: int, weight_bytes_per_val: float,
+             extra_per_bn: float = 0.0) -> int:
+    """Largest 128-multiple divisor of n whose double-buffered VMEM fits."""
+    best = 0
+    for d in range(1, n // 128 + 1):
+        bn = 128 * d
+        if n % bn:
             continue
-        for bk in _divisors_desc(k, pair, 2048):
-            if bk % pair:
-                continue
-            if vmem(bk, bn) > 10 * 1024 * 1024:
-                continue
-            score = (-(bk * bn), -bn)
-            if best is None or score < best[0]:
-                best = (score, bk, bn)
-            break  # largest feasible bk for this bn
-    if best is None:
-        return None
-    return bm, best[1], best[2]
+        vmem = (weight_rows * bn * weight_bytes_per_val * 2   # q double-buffered
+                + extra_per_bn * bn
+                + bm * bn * 4                                  # f32 acc
+                + bm * bn * 2 * 2)                             # out double-buffered
+        if vmem <= _VMEM_BUDGET and bn > best:
+            best = bn
+    return best
+
+
+def _pick_bm(m: int) -> int:
+    if m <= 256:
+        return m
+    for bm in range(256, 7, -8):
+        if m % bm == 0:
+            return bm
+    return 0
 
 
 def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
     """x [..., K] @ QuantLinear -> [..., N]; falls back to the XLA path for
-    shapes the kernel doesn't tile (unaligned K/N)."""
+    shapes the kernel doesn't tile (unaligned K/N/group)."""
     k = lin.in_features
     n = lin.out_features
+    gs = lin.group_size
     lead = x.shape[:-1]
     m = 1
     for d in lead:
         m *= d
-    # pad M up to the sublane multiple the kernel blocks need
     m_pad = max(8, -(-m // 8) * 8)
-    if block_override is not None:
-        blocks = (m_pad, *block_override)
+    bm = _pick_bm(m_pad)
+    ok = bm and n % 128 == 0
+    if lin.bits == 4:
+        ok = ok and k % (2 * gs) == 0 and gs % 128 == 0
     else:
-        blocks = _pick_blocks(m_pad, k, n, lin.bits, lin.group_size)
-    if blocks is None:
+        groups = lin.scales.shape[-2]
+        ok = ok and (groups == 1 or (k % groups == 0 and (k // groups) % 128 == 0))
+    if block_override is not None:
+        bn = block_override[-1]
+    elif ok:
+        if lin.bits == 4:
+            bn = _pick_bn(n, bm, gs, 1, extra_per_bn=2 * 4 * 2)
+        else:
+            bk = k if lin.scales.shape[-2] == 1 else k // lin.scales.shape[-2]
+            bk = min(bk, 2048)
+            while k % bk:
+                bk //= 2
+            bn = _pick_bn(n, bm, bk, 1, extra_per_bn=4 * 2)
+        ok = bn > 0
+    if not ok:
         return _linear._quant_matmul_xla(x, lin)
-    bm, bk, bn = blocks
+
     x2 = x.reshape(m, k).astype(jnp.bfloat16)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    y = _quant_matmul_2d(
-        x2, lin.q, lin.scales, bits=lin.bits, group_size=lin.group_size,
-        block_m=bm, block_k=bk, block_n=bn,
-    )
+    if lin.bits == 4:
+        y = _quant_matmul4(x2, lin.q, lin.scales, group_size=gs,
+                           block_m=bm, block_n=bn)
+    else:
+        groups = lin.scales.shape[-2]
+        if groups == 1:
+            bk = min(k, 2048)
+            while k % bk:
+                bk //= 2
+        else:
+            bk = k // groups
+        y = _quant_matmul8(x2, lin.q, lin.scales, group_size=gs,
+                           block_m=bm, block_k=bk, block_n=bn)
     if m_pad != m:
         y = y[:m]
     return y.reshape(*lead, n).astype(x.dtype)

@@ -41,10 +41,11 @@ class QuantConfig:
 def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
     """Pack ``[K, N]`` int8 values in [-8,7] to ``[K//2, N]`` bytes.
 
-    Group-pair layout: adjacent scale groups 2p (→ low nibbles) and 2p+1
+    Plane layout: adjacent scale groups 2p (→ low nibbles) and 2p+1
     (→ high nibbles) share packed rows ``p*G..(p+1)*G`` — each nibble plane
-    of a slab is one whole group, enabling lane-aligned activation slices
-    and post-dot scaling in the Pallas kernel (ops/linear.py docstring).
+    of a k-tile is one whole group.  Byte encoding ``16*hi + (lo+8)``
+    (hi signed, lo excess-8), decodable with 3 int ops and exactly
+    invertible in [-128, 127] (see ops/linear.py docstring).
     Requires K % (2*group_size) == 0.
     """
     k, n = q.shape[-2], q.shape[-1]
@@ -52,9 +53,9 @@ def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
     lead = q.shape[:-2]
     g = group_size
     qg = q.reshape(*lead, k // (2 * g), 2, g, n)
-    lo = qg[..., 0, :, :].astype(jnp.uint8) & 0xF
-    hi = (qg[..., 1, :, :].astype(jnp.uint8) & 0xF) << 4
-    packed = (lo | hi).astype(jnp.int8)
+    lo = qg[..., 0, :, :].astype(jnp.int32)
+    hi = qg[..., 1, :, :].astype(jnp.int32)
+    packed = (hi * 16 + lo + 8).astype(jnp.int8)
     return packed.reshape(*lead, k // 2, n)
 
 
