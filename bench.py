@@ -101,7 +101,7 @@ def main():
     log(f"params ready in {time.perf_counter()-t0:.1f}s; "
         f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
 
-    sp = SamplingParams(temperature=0.7, top_k=50)
+    sp = SamplingParams(temperature=0.7, top_k=50, approx_top_k=True)
 
     def _decode(params, tok, pos, cache, rkey):
         logits, cache = decode_step(params, cfg, tok, pos, cache)

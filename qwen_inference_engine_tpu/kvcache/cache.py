@@ -198,3 +198,40 @@ def pages_required(seq_len: int, page_size: int) -> int:
     """ceil(seq/page) — the reference eager-allocates one extra
     (iengine.cu:339-351); we allocate exactly and grow lazily."""
     return -(-seq_len // page_size)
+
+
+# ----------------------------------------------------------------------
+# Stacked (whole-cache) writes at a layer index — used by the scan-carry
+# cache in models/qwen.py. Writing through the full [L, ...] carry lets
+# XLA update the (donated) cache buffer in place; returning per-layer
+# slices as scan ys would stack them into freshly allocated buffers,
+# copying the entire cache every step.
+# ----------------------------------------------------------------------
+
+def contiguous_write_stacked(
+    cache: jax.Array,          # [L, B, S, Hk, D] (or [L, B, S, Hk] scales)
+    layer: jax.Array,          # scalar int32
+    new: jax.Array,            # [B, T, ...]
+    positions: jax.Array,      # [B, T]
+    fresh_prefill: bool = False,
+) -> jax.Array:
+    if fresh_prefill:
+        starts = (layer,) + (0,) * (cache.ndim - 1)
+        return jax.lax.dynamic_update_slice(
+            cache, new[None].astype(cache.dtype), starts)
+    b = jnp.arange(cache.shape[1])[:, None]
+    return cache.at[layer, b, positions].set(new.astype(cache.dtype))
+
+
+def paged_write_stacked(
+    pages: jax.Array,          # [L, P, Hk, page, D] (or [L, P, Hk, page])
+    layer: jax.Array,
+    new: jax.Array,            # [B, T, Hk, ...]
+    positions: jax.Array,      # [B, T] absolute
+    block_tables: jax.Array,   # [B, max_pages]
+    page_size: int,
+) -> jax.Array:
+    logical_page = positions // page_size
+    slot = positions % page_size
+    page_ids = jnp.take_along_axis(block_tables, logical_page, axis=1)
+    return pages.at[layer, page_ids, :, slot].set(new.astype(pages.dtype))

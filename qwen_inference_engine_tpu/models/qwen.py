@@ -29,9 +29,9 @@ from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.kvcache.cache import (
     KVCache,
     PagedKVCache,
-    contiguous_write,
+    contiguous_write_stacked,
     paged_read,
-    paged_write,
+    paged_write_stacked,
 )
 from qwen_inference_engine_tpu.ops.attention import gqa_attention
 from qwen_inference_engine_tpu.ops.linear import Linear, apply_linear
@@ -151,37 +151,29 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
 # KV read/write for one layer, transparently handling INT8 KV caches
 # ----------------------------------------------------------------------
 
-def _write_layer_cache(cslices: dict, k_new, v_new, positions, block_tables,
-                       page_size: Optional[int], fresh_prefill: bool) -> dict:
-    out = dict(cslices)
-    if cslices.get("k_scale") is not None:
+def _write_cache_stacked(cache_c: dict, layer, k_new, v_new, positions,
+                         block_tables, page_size: Optional[int],
+                         fresh_prefill: bool) -> dict:
+    """Scatter this layer's new K/V (and scales) into the full stacked
+    [L, ...] cache arrays at ``layer`` — in-place on the scan carry."""
+    out = dict(cache_c)
+
+    def wr(arr, new):
+        if page_size is not None:
+            return paged_write_stacked(arr, layer, new, positions,
+                                       block_tables, page_size)
+        return contiguous_write_stacked(arr, layer, new, positions, fresh_prefill)
+
+    if cache_c.get("k_scale") is not None:
         qk, sk = quantize_kv(k_new)
         qv, sv = quantize_kv(v_new)
-        if page_size is not None:
-            out["k"] = paged_write(cslices["k"], qk, positions, block_tables, page_size)
-            out["v"] = paged_write(cslices["v"], qv, positions, block_tables, page_size)
-            out["k_scale"] = paged_write(
-                cslices["k_scale"][..., None], sk[..., None], positions, block_tables, page_size
-            )[..., 0]
-            out["v_scale"] = paged_write(
-                cslices["v_scale"][..., None], sv[..., None], positions, block_tables, page_size
-            )[..., 0]
-        else:
-            out["k"] = contiguous_write(cslices["k"], qk, positions, fresh_prefill)
-            out["v"] = contiguous_write(cslices["v"], qv, positions, fresh_prefill)
-            out["k_scale"] = contiguous_write(
-                cslices["k_scale"][..., None], sk[..., None], positions, fresh_prefill
-            )[..., 0]
-            out["v_scale"] = contiguous_write(
-                cslices["v_scale"][..., None], sv[..., None], positions, fresh_prefill
-            )[..., 0]
+        out["k"] = wr(cache_c["k"], qk)
+        out["v"] = wr(cache_c["v"], qv)
+        out["k_scale"] = wr(cache_c["k_scale"][..., None], sk[..., None])[..., 0]
+        out["v_scale"] = wr(cache_c["v_scale"][..., None], sv[..., None])[..., 0]
     else:
-        if page_size is not None:
-            out["k"] = paged_write(cslices["k"], k_new, positions, block_tables, page_size)
-            out["v"] = paged_write(cslices["v"], v_new, positions, block_tables, page_size)
-        else:
-            out["k"] = contiguous_write(cslices["k"], k_new, positions, fresh_prefill)
-            out["v"] = contiguous_write(cslices["v"], v_new, positions, fresh_prefill)
+        out["k"] = wr(cache_c["k"], k_new)
+        out["v"] = wr(cache_c["v"], v_new)
     return out
 
 
@@ -265,8 +257,12 @@ def forward_hidden(
         cache_arrays = {"k": cache.k, "v": cache.v,
                         "k_scale": cache.k_scale, "v_scale": cache.v_scale}
 
-    def layer_fn(x, scanned):
-        lp, cslices = scanned
+    def layer_fn(carry, lp):
+        # The cache is a scan CARRY (full stacked [L, ...] arrays, updated
+        # in place at layer slice l), NOT scanned xs/ys: scan ys are stacked
+        # into freshly allocated buffers, which would copy the entire layer
+        # cache every step (~70 MB/layer at 7B/b128 — measured ~9 ms/step).
+        x, cache_c, l = carry
         h = rms_norm(x, lp["input_norm"], eps)
         q = apply_linear(h, lp["q"], use_pallas).reshape(B, T, Hq, Dh)
         k = apply_linear(h, lp["k"], use_pallas).reshape(B, T, Hk, Dh)
@@ -277,8 +273,8 @@ def forward_hidden(
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
-        cslices = _write_layer_cache(
-            cslices, k, v, positions, block_tables, page_size, fresh_prefill
+        cache_c = _write_cache_stacked(
+            cache_c, l, k, v, positions, block_tables, page_size, fresh_prefill
         )
         if fresh_prefill:
             # self-contained prefill from position 0: attend within the new
@@ -291,26 +287,33 @@ def forward_hidden(
                 attn = flash_attention(q, k, v)
             else:
                 attn = gqa_attention(q, k, v, positions)
-        elif use_paged_kernel:
-            from qwen_inference_engine_tpu.ops.paged_attention import (
-                paged_decode_attention,
-            )
-
-            attn = paged_decode_attention(
-                q, cslices["k"], cslices["v"], block_tables,
-                positions[:, 0] + 1, page_size)
         else:
-            k_all, v_all = _read_layer_cache(cslices, block_tables, page_size, dtype)
-            attn = gqa_attention(q, k_all, v_all, positions)
+            # post-write layer slice; the dynamic-slice read fuses into the
+            # attention consumer (no standalone copy of the layer cache).
+            cslices = {kk: (vv[l] if vv is not None else None)
+                       for kk, vv in cache_c.items()}
+            if use_paged_kernel:
+                from qwen_inference_engine_tpu.ops.paged_attention import (
+                    paged_decode_attention,
+                )
+
+                attn = paged_decode_attention(
+                    q, cslices["k"], cslices["v"], block_tables,
+                    positions[:, 0] + 1, page_size)
+            else:
+                k_all, v_all = _read_layer_cache(cslices, block_tables,
+                                                 page_size, dtype)
+                attn = gqa_attention(q, k_all, v_all, positions)
 
         x = x + apply_linear(attn.reshape(B, T, Hq * Dh), lp["o"], use_pallas)
         h = rms_norm(x, lp["post_norm"], eps)
         gate = apply_linear(h, lp["gate"], use_pallas)
         up = apply_linear(h, lp["up"], use_pallas)
         x = x + apply_linear(jax.nn.silu(gate) * up, lp["down"], use_pallas)
-        return x, cslices
+        return (x, cache_c, l + 1), None
 
-    x, new_cache_arrays = jax.lax.scan(layer_fn, x, (params["layers"], cache_arrays))
+    (x, new_cache_arrays, _), _ = jax.lax.scan(
+        layer_fn, (x, cache_arrays, jnp.int32(0)), params["layers"])
     x = rms_norm(x, params["final_norm"], eps)
 
     if paged:

@@ -193,21 +193,26 @@ def _quant_matmul8(x, q, scales, *, group_size, block_m, block_k, block_n):
 # Block selection + entry point
 # ----------------------------------------------------------------------
 
-_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _pick_bn(n: int, bm: int, weight_rows: int, weight_bytes_per_val: float,
-             extra_per_bn: float = 0.0) -> int:
-    """Largest 128-multiple divisor of n whose double-buffered VMEM fits."""
+def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool) -> int:
+    """Largest 128-multiple divisor of n whose VMEM footprint fits.
+
+    Footprint = double-buffered q block + in-kernel i32 unpack temporaries
+    (the dominant term for int4: ~6 bytes/packed value live at once) +
+    f32 accumulator + double-buffered output + scale slab.
+    """
     best = 0
     for d in range(1, n // 128 + 1):
         bn = 128 * d
         if n % bn:
             continue
-        vmem = (weight_rows * bn * weight_bytes_per_val * 2   # q double-buffered
-                + extra_per_bn * bn
-                + bm * bn * 4                                  # f32 acc
-                + bm * bn * 2 * 2)                             # out double-buffered
+        vmem = (weight_rows * bn * 2          # q int8, double-buffered
+                + (weight_rows * bn * 6 if int4 else 0)  # i32 unpack temps
+                + 16 * bn                     # scale slab (f32, 2-buffered)
+                + bm * bn * 4                 # f32 acc scratch
+                + bm * bn * 2 * 2)            # out bf16, double-buffered
         if vmem <= _VMEM_BUDGET and bn > best:
             best = bn
     return best
@@ -244,13 +249,13 @@ def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
         bn = block_override[-1]
     elif ok:
         if lin.bits == 4:
-            bn = _pick_bn(n, bm, gs, 1, extra_per_bn=2 * 4 * 2)
+            bn = _pick_bn(n, bm, gs, int4=True)
         else:
             bk = k if lin.scales.shape[-2] == 1 else k // lin.scales.shape[-2]
             bk = min(bk, 2048)
             while k % bk:
                 bk //= 2
-            bn = _pick_bn(n, bm, bk, 1, extra_per_bn=4 * 2)
+            bn = _pick_bn(n, bm, bk, int4=False)
         ok = bn > 0
     if not ok:
         return _linear._quant_matmul_xla(x, lin)

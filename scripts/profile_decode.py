@@ -1,56 +1,39 @@
 """Break down decode-step time: per-shape quant matmuls, attention, sampling.
 
-Each op is timed inside a single jit as a lax.scan over ITERS distinct
-inputs (amortizes the ~1.3 ms host->device dispatch of this tunnel setup
-and prevents CSE), weights passed as arguments (not closed-over constants).
+Uses scripts/tpu_timing.marginal_us (value-fetch sync + reps differencing;
+block_until_ready returns early through this tunnel).
 
-Usage: PYTHONPATH=. python scripts/profile_decode.py
+Usage: PYTHONPATH=. python scripts/profile_decode.py [batch]
 """
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "scripts")
+from tpu_timing import marginal_us
+
 from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.ops.linear import QuantLinear
 from qwen_inference_engine_tpu.ops.quant_matmul import quant_matmul_pallas
 
 cfg = ModelConfig.from_pretrained("qwen2.5-7b")
-B = 32
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 L, D, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
 Qd, Kd = cfg.q_dim, cfg.kv_dim
-GS = 128
-ITERS = 20
+GS = 256
 key = jax.random.PRNGKey(0)
 
 
 def mk_qlin(kin, out, bits=4):
     pack = 2 if bits == 4 else 1
-    q = jax.random.randint(key, (kin // pack, out), -7, 8, dtype=jnp.int8)
+    q = jax.random.randint(key, (kin // pack, out), -128, 128, dtype=jnp.int8)
     scales = jnp.full((kin // GS, out), (kin ** -0.5) / 7, jnp.float32)
     return QuantLinear(q=q, scales=scales, b=None, bits=bits, group_size=GS)
 
 
-def bench_scanned(op, weights, xs, n_timing=5):
-    """op(w, x) scanned over xs[0..ITERS); returns us per op call."""
-    def body(acc, x):
-        y = op(weights, x)
-        return acc + jnp.sum(y.astype(jnp.float32)), None
-
-    @jax.jit
-    def run(w, xs):
-        acc, _ = jax.lax.scan(lambda a, x: body(a, x), jnp.float32(0), xs)
-        return acc
-
-    r = run(weights, xs)
-    np.asarray(r)
-    t0 = time.perf_counter()
-    for _ in range(n_timing):
-        r = run(weights, xs)
-    np.asarray(r)
-    dt = time.perf_counter() - t0
-    return dt / (n_timing * ITERS) * 1e6  # us per call
 
 
 shapes = [("q", D, Qd), ("k", D, Kd), ("v", D, Kd), ("o", Qd, D),
@@ -58,8 +41,8 @@ shapes = [("q", D, Qd), ("k", D, Kd), ("v", D, Kd), ("o", Qd, D),
 total_mm = 0.0
 for name, kin, out in shapes:
     lin = mk_qlin(kin, out)
-    xs = jax.random.normal(key, (ITERS, B, kin), jnp.bfloat16)
-    us = bench_scanned(lambda w, x: quant_matmul_pallas(x, w), lin, xs)
+    mk = lambda n: jax.random.normal(key, (n, B, kin), jnp.bfloat16)
+    us = marginal_us(lambda w, x: quant_matmul_pallas(x, w), lin, mk)
     nbytes = lin.q.size + lin.scales.size * 4
     gbs = nbytes / (us * 1e-6) / 1e9
     total_mm += us
@@ -67,8 +50,8 @@ for name, kin, out in shapes:
 print(f"per-layer matmul total: {total_mm:.1f} us -> x{L} layers = {total_mm*L/1e3:.2f} ms")
 
 lm = mk_qlin(D, V)
-xs = jax.random.normal(key, (ITERS, B, D), jnp.bfloat16)
-us = bench_scanned(lambda w, x: quant_matmul_pallas(x, w), lm, xs)
+mk = lambda n: jax.random.normal(key, (n, B, D), jnp.bfloat16)
+us = marginal_us(lambda w, x: quant_matmul_pallas(x, w), lm, mk)
 print(f"lm_head [{B}x{D}]x[{D}x{V}] int4: {us:8.1f} us "
       f"({(lm.q.size + lm.scales.size*4)/(us*1e-6)/1e9:.0f} GB/s)")
 lm_us = us
@@ -91,8 +74,8 @@ attn_us = us
 # KV write (contiguous)
 from qwen_inference_engine_tpu.kvcache.cache import contiguous_write
 
-kn = jax.random.normal(key, (ITERS, B, 1, Hk, Dh), jnp.bfloat16)
-us = bench_scanned(lambda w, x: contiguous_write(w, x, pos, False), kc, kn)
+mk = lambda n: jax.random.normal(key, (n, B, 1, Hk, Dh), jnp.bfloat16)
+us = marginal_us(lambda w, x: contiguous_write(w, x, pos, False), kc, mk)
 print(f"kv write: {us:8.1f} us -> x{2*L} = {us*2*L/1e3:.2f} ms")
 kvw_us = us
 
@@ -100,10 +83,18 @@ kvw_us = us
 from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
 sp = SamplingParams(temperature=0.7, top_k=50)
-ls = jax.random.normal(key, (ITERS, B, V), jnp.float32)
-us = bench_scanned(lambda w, x: sample(x, w, sp), key, ls)
+mk = lambda n: jax.random.normal(key, (n, B, V), jnp.float32)
+us = marginal_us(lambda w, x: sample(x, w, sp), key, mk)
 print(f"sampling top{sp.top_k} B{B} V{V}: {us:8.1f} us")
 samp_us = us
 
+# small per-layer ops: rmsnorm x2, rope, qk-embed etc -> measure rms_norm
+from qwen_inference_engine_tpu.ops.norms import rms_norm
+
+w = jnp.ones((D,), jnp.bfloat16)
+mk = lambda n: jax.random.normal(key, (n, B, 1, D), jnp.bfloat16)
+us = marginal_us(lambda w, x: rms_norm(x, w, 1e-6), w, mk)
+print(f"rms_norm B{B}: {us:8.1f} us -> x{2*L} = {us*2*L/1e3:.2f} ms")
+
 est = (total_mm * L + lm_us + attn_us * L + kvw_us * 2 * L + samp_us) / 1e3
-print(f"\nestimated step from parts: {est:.2f} ms (bench measured ~20 ms)")
+print(f"\nestimated step from parts: {est:.2f} ms")
