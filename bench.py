@@ -104,7 +104,8 @@ def main():
     sp = SamplingParams(temperature=0.7, top_k=50, approx_top_k=True)
 
     def _decode(params, tok, pos, cache, rkey):
-        logits, cache = decode_step(params, cfg, tok, pos, cache)
+        logits, cache = decode_step(params, cfg, tok, pos, cache,
+                                    uniform_decode=True)
         return sample(logits, rkey, sp), cache
 
     jit_prefill = jax.jit(

@@ -41,9 +41,14 @@ import jax.numpy as jnp
 )
 @dataclasses.dataclass
 class KVCache:
-    """Contiguous cache: k/v ``[L, B, S, Hk, D]``.
+    """Contiguous cache: k/v ``[L, B, Hk, S, D]`` (head-major).
 
-    k_scale/v_scale: ``[L, B, S, Hk]`` fp32 per-token-per-head scales when
+    Head-major so the decode attention einsums (batch dims ``b, hk``,
+    contraction ``d``/``s``) consume the cache in its stored layout — with
+    token-major ``[B, S, Hk, D]`` XLA inserted a full-cache transpose per
+    layer per step (~10 ms at 7B batch 128, measured by ablation).
+
+    k_scale/v_scale: ``[L, B, Hk, S]`` fp32 per-token-per-head scales when
     the cache dtype is int8, else None.
     """
 
@@ -65,7 +70,11 @@ class KVCache:
         head_dim: int,
         dtype=jnp.bfloat16,
     ) -> "KVCache":
-        shape = (num_layers, batch, max_seq, num_kv_heads, head_dim)
+        # round the sequence capacity up to the flash decode kernel's
+        # block size (ops/decode_attention.py); padded slots are masked by
+        # position everywhere and never DMA'd (clamped block index map).
+        max_seq = -(-max_seq // 256) * 256
+        shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
         quant = dtype == jnp.int8
         return KVCache(
             k=jnp.zeros(shape, dtype=dtype),
@@ -136,18 +145,19 @@ def contiguous_write(
     positions: jax.Array,
     fresh_prefill: bool = False,
 ) -> jax.Array:
-    """Write ``new [B, T, Hk, D]`` at ``positions [B, T]`` into ``[B, S, ...]``.
+    """Write ``new [B, T, Hk, D]`` at ``positions [B, T]`` into the
+    head-major ``[B, Hk, S, D]`` layer cache.
 
     ``fresh_prefill=True`` asserts positions are ``0..T-1`` for every row and
     lowers to a single dynamic_update_slice (the fast path, analogous to the
     reference's one cudaMemcpy2D per layer at prefill).
     """
+    new_km = new.astype(cache_l.dtype).swapaxes(1, 2)  # [B, Hk, T, ...]
     if fresh_prefill:
-        return jax.lax.dynamic_update_slice(
-            cache_l, new.astype(cache_l.dtype), (0, 0, 0, 0)
-        )
+        starts = (0,) * cache_l.ndim
+        return jax.lax.dynamic_update_slice(cache_l, new_km, starts)
     b = jnp.arange(cache_l.shape[0])[:, None]
-    return cache_l.at[b, positions].set(new.astype(cache_l.dtype))
+    return cache_l.at[b, :, positions].set(new.astype(cache_l.dtype))
 
 
 def contiguous_read(cache_l: jax.Array) -> jax.Array:
@@ -183,7 +193,7 @@ def paged_write(
 def paged_read(
     pages_l: jax.Array, block_tables: jax.Array
 ) -> jax.Array:
-    """Gather a sequence-major view ``[B, max_pages*page_size, Hk, D]``.
+    """Gather a head-major view ``[B, Hk, max_pages*page_size, D]``.
 
     XLA fallback used by the jnp attention path; the Pallas ragged paged
     attention kernel consumes pages directly and skips this materialization.
@@ -191,7 +201,7 @@ def paged_read(
     gathered = pages_l[block_tables]  # [B, max_pages, Hk, page, ...]
     B, NP, Hk, PS = gathered.shape[:4]
     rest = gathered.shape[4:]
-    return gathered.swapaxes(2, 3).reshape(B, NP * PS, Hk, *rest)
+    return gathered.swapaxes(1, 2).reshape(B, Hk, NP * PS, *rest)
 
 
 def pages_required(seq_len: int, page_size: int) -> int:
@@ -209,18 +219,19 @@ def pages_required(seq_len: int, page_size: int) -> int:
 # ----------------------------------------------------------------------
 
 def contiguous_write_stacked(
-    cache: jax.Array,          # [L, B, S, Hk, D] (or [L, B, S, Hk] scales)
+    cache: jax.Array,          # [L, B, Hk, S, D] (or [L, B, Hk, S, 1] scales)
     layer: jax.Array,          # scalar int32
-    new: jax.Array,            # [B, T, ...]
+    new: jax.Array,            # [B, T, Hk, ...] (token-major, as computed)
     positions: jax.Array,      # [B, T]
     fresh_prefill: bool = False,
 ) -> jax.Array:
     if fresh_prefill:
         starts = (layer,) + (0,) * (cache.ndim - 1)
+        new_km = new.swapaxes(1, 2)  # [B, Hk, T, ...]
         return jax.lax.dynamic_update_slice(
-            cache, new[None].astype(cache.dtype), starts)
+            cache, new_km[None].astype(cache.dtype), starts)
     b = jnp.arange(cache.shape[1])[:, None]
-    return cache.at[layer, b, positions].set(new.astype(cache.dtype))
+    return cache.at[layer, b, :, positions].set(new.astype(cache.dtype))
 
 
 def paged_write_stacked(

@@ -33,7 +33,10 @@ from qwen_inference_engine_tpu.kvcache.cache import (
     paged_read,
     paged_write_stacked,
 )
-from qwen_inference_engine_tpu.ops.attention import gqa_attention
+from qwen_inference_engine_tpu.ops.attention import (
+    gqa_attention,
+    gqa_attention_kmajor,
+)
 from qwen_inference_engine_tpu.ops.linear import Linear, apply_linear
 from qwen_inference_engine_tpu.ops.norms import qk_norm, rms_norm
 from qwen_inference_engine_tpu.ops.rope import apply_rope, precompute_rope
@@ -216,12 +219,15 @@ def forward_hidden(
     fresh_prefill: bool = False,
     use_pallas: bool = True,
     attn_impl: str = "auto",
+    uniform_decode: bool = False,
 ) -> Tuple[jax.Array, object]:
     """Run the transformer stack; returns (hidden [B,T,D], updated cache).
 
     attn_impl: "auto" (Pallas flash/paged kernels where supported on TPU,
     XLA einsum attention otherwise), "xla" (always einsum), "pallas"
     (force kernels — used by interpreter-mode tests).
+    uniform_decode: caller promises all rows decode at the SAME position
+    (aligned batch) — enables the single-tile in-place KV append kernel.
     """
     B, T = tokens.shape
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -237,6 +243,7 @@ def forward_hidden(
                                              use_pallas and _on_tpu())
     use_flash = False
     use_paged_kernel = False
+    use_contig_kernel = False
     if want_kernels:
         from qwen_inference_engine_tpu.ops.flash_attention import (
             flash_attention_supported,
@@ -250,6 +257,13 @@ def forward_hidden(
                 (B, T, Hq, Dh), (B, T, Hk, Dh))
         elif paged and T == 1 and not cache.quantized:
             use_paged_kernel = paged_attention_supported(Dh, page_size)
+        elif not paged and T == 1 and not cache.quantized:
+            from qwen_inference_engine_tpu.ops.decode_attention import (
+                decode_attention_supported,
+            )
+
+            use_contig_kernel = decode_attention_supported(
+                Dh, cache.k.shape[3], Hq, Hk)
     if paged:
         cache_arrays = {"k": cache.k_pages, "v": cache.v_pages,
                         "k_scale": cache.k_scale, "v_scale": cache.v_scale}
@@ -273,9 +287,22 @@ def forward_hidden(
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
-        cache_c = _write_cache_stacked(
-            cache_c, l, k, v, positions, block_tables, page_size, fresh_prefill
-        )
+        if use_contig_kernel and uniform_decode:
+            # one in-place tile RMW for the whole batch (ops/kv_append.py)
+            # — the XLA scatter serializes per batch row (~6.8 ms/step at
+            # 7B b128).
+            from qwen_inference_engine_tpu.ops.kv_append import (
+                kv_append_uniform,
+            )
+
+            k_c, v_c = kv_append_uniform(
+                cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
+            cache_c = dict(cache_c, k=k_c, v=v_c)
+        else:
+            cache_c = _write_cache_stacked(
+                cache_c, l, k, v, positions, block_tables, page_size,
+                fresh_prefill
+            )
         if fresh_prefill:
             # self-contained prefill from position 0: attend within the new
             # block only — avoids reading the (empty) rest of the cache.
@@ -303,7 +330,7 @@ def forward_hidden(
             else:
                 k_all, v_all = _read_layer_cache(cslices, block_tables,
                                                  page_size, dtype)
-                attn = gqa_attention(q, k_all, v_all, positions)
+                attn = gqa_attention_kmajor(q, k_all, v_all, positions)
 
         x = x + apply_linear(attn.reshape(B, T, Hq * Dh), lp["o"], use_pallas)
         h = rms_norm(x, lp["post_norm"], eps)
@@ -380,11 +407,13 @@ def decode_step(
     *,
     use_pallas: bool = True,
     attn_impl: str = "auto",
+    uniform_decode: bool = False,
 ) -> Tuple[jax.Array, object]:
     """One decode step for every sequence. Returns (logits [B,V], cache)."""
     hidden, cache = forward_hidden(
         params, cfg, tokens[:, None], positions[:, None], cache, block_tables,
         fresh_prefill=False, use_pallas=use_pallas, attn_impl=attn_impl,
+        uniform_decode=uniform_decode,
     )
     return compute_logits(params, hidden[:, 0], use_pallas), cache
 

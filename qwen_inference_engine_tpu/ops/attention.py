@@ -31,10 +31,30 @@ def gqa_attention(
     kv_valid_len: jax.Array | None = None,
     scale: float | None = None,
 ) -> jax.Array:
-    """Causal GQA attention of queries against a (padded) KV buffer.
+    """Token-major oracle wrapper: k/v ``[B, S, Hk, D]``.
+
+    The decode path stores the cache head-major and calls
+    :func:`gqa_attention_kmajor` directly (no transpose); this wrapper is
+    the semantics oracle for tests and the fresh-prefill fallback.
+    """
+    return gqa_attention_kmajor(q, k.swapaxes(1, 2), v.swapaxes(1, 2),
+                                q_positions, kv_valid_len, scale)
+
+
+def gqa_attention_kmajor(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_positions: jax.Array,
+    kv_valid_len: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Causal GQA attention of queries against a (padded) head-major cache.
 
     q: [B, T, Hq, D]   queries (already RoPE'd / qk-normed)
-    k, v: [B, S, Hk, D] keys/values at absolute slots 0..S-1
+    k, v: [B, Hk, S, D] keys/values at absolute slots 0..S-1 (head-major —
+        the einsum batch dims are (b, hk), so this is the layout the MXU
+        consumes directly; token-major input forces a full-cache transpose)
     q_positions: [B, T] absolute position of each query token
     kv_valid_len: [B] optional number of valid KV slots (defaults to the
         causal bound; needed only if cache slots beyond a query's position
@@ -43,17 +63,20 @@ def gqa_attention(
     Returns [B, T, Hq, D] in q.dtype.
     """
     B, T, Hq, D = q.shape
-    S, Hk = k.shape[1], k.shape[2]
+    Hk, S = k.shape[1], k.shape[2]
     G = Hq // Hk
     if scale is None:
         scale = D ** -0.5
 
-    qf = q.reshape(B, T, Hk, G, D).astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # Keep QK^T operands in their native (bf16) dtype: the MXU multiplies
+    # bf16 mantissas exactly and accumulates in f32, so pre-casting to f32
+    # is bit-identical but runs the matmul at a fraction of the MXU rate
+    # and doubles HBM traffic.  Scale is applied to the f32 scores.
+    qg = q.reshape(B, T, Hk, G, D)
 
     # scores: [B, Hk, G, T, S]
-    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
 
     key_pos = jnp.arange(S, dtype=jnp.int32)
     mask = key_pos[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
@@ -67,5 +90,6 @@ def gqa_attention(
     probs = jnp.exp(scores)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, vf, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, Hq, D).astype(q.dtype)

@@ -1,0 +1,95 @@
+"""In-place decode KV append into the stacked contiguous cache.
+
+XLA lowers the per-row scatter ``cache.at[l, b, :, pos_b].set(new)`` to a
+serial per-batch-row read-modify-write (~6.8 ms/step at 7B batch 128,
+ablation in scripts/ablate_decode.py). HBM buffers are (8, 128)-tiled along
+(S, D), so a 1-row DMA is impossible; but when every sequence decodes at
+the SAME position (aligned batch — the common serving fast path and the
+bench configuration), the whole batch's append is ONE tile-aligned
+read-modify-write: DMA in the [B, Hk, 8, D] tile band containing ``pos``,
+blend the new row with a vectorized select, DMA it back. The cache aliases
+the output (``input_output_aliases``) so the update is in place.
+
+TPU equivalent of the reference's per-token decode append (reference:
+layers/src/include_cuda.cu:233-279 — two cudaMemcpys per layer per token),
+but for the whole batch at once and without leaving the device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
+                           kc_out, vc_out, ktile, vtile, sem):
+    del kc_hbm, vc_hbm  # aliased with kc_out / vc_out
+    l = layer_ref[0]
+    p = pos_ref[0]
+    t0 = pl.multiple_of((p // 8) * 8, 8)
+
+    kin = pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, 8), :], ktile,
+                                sem.at[0])
+    vin = pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, 8), :], vtile,
+                                sem.at[1])
+    kin.start()
+    vin.start()
+    kin.wait()
+    vin.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape, dimension=2)
+    sel = row == (p - t0)
+    ktile[:] = jnp.where(sel, kn_ref[:][:, :, None, :], ktile[:])
+    vtile[:] = jnp.where(sel, vn_ref[:][:, :, None, :], vtile[:])
+
+    kout = pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                 sem.at[0])
+    vout = pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                 sem.at[1])
+    kout.start()
+    vout.start()
+    kout.wait()
+    vout.wait()
+
+
+@jax.jit
+def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer):
+    """Write ``k_new/v_new [B, 1, Hk, D]`` at the SAME ``position`` (scalar)
+    for every row into the stacked head-major caches ``[L, B, Hk, S, D]``
+    (in place). Returns the (aliased) updated caches."""
+    L, B, Hk, S, D = k_cache.shape
+    kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_cache (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, Hk, 8, D), k_cache.dtype),
+            pltpu.VMEM((B, Hk, 8, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _uniform_append_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={2: 0, 3: 1},  # caches alias outputs
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pos, jnp.asarray(layer, jnp.int32).reshape(1),
+      k_cache, v_cache, kn, vn)

@@ -105,11 +105,11 @@ def cache_pspecs(cache, mesh: Mesh):
             v_scale=None if cache.v_scale is None else sc,
             page_size=cache.page_size,
         )
-    hk = cache.k.shape[3]
+    hk = cache.k.shape[2]
     on_heads = hk % m_size == 0
-    kv = P(None, DATA_AXIS, None, MODEL_AXIS, None) if on_heads else \
+    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None) if on_heads else \
          P(None, DATA_AXIS, None, None, MODEL_AXIS)
-    sc = P(None, DATA_AXIS, None, MODEL_AXIS) if on_heads else P(None, DATA_AXIS, None, None)
+    sc = P(None, DATA_AXIS, MODEL_AXIS, None) if on_heads else P(None, DATA_AXIS, None, None)
     return KVCache(
         k=kv, v=kv,
         k_scale=None if cache.k_scale is None else sc,

@@ -12,7 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qwen_inference_engine_tpu.ops.attention import gqa_attention
+from qwen_inference_engine_tpu.ops.attention import (
+    gqa_attention,
+    gqa_attention_kmajor,
+)
 from qwen_inference_engine_tpu.kvcache.cache import paged_read, paged_write
 
 
@@ -74,9 +77,9 @@ def test_paged_decode_attention_matches_oracle(G, page_size):
 
     q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
     # oracle over the gathered view with causal position len-1
-    k_view = paged_read(pages_k, tables)
+    k_view = paged_read(pages_k, tables)   # head-major [B, Hk, S, D]
     v_view = paged_read(pages_v, tables)
-    oracle = gqa_attention(q, k_view, v_view, (lens - 1)[:, None])
+    oracle = gqa_attention_kmajor(q, k_view, v_view, (lens - 1)[:, None])
 
     assert pa.paged_attention_supported(D, page_size)
     with interpret_pallas(pa):
@@ -99,11 +102,57 @@ def test_paged_kernel_ignores_stale_pages():
     lens = jnp.asarray([3], jnp.int32)  # only 3 tokens valid, page 2 stale
     q = jnp.asarray(rng.normal(size=(B, 1, G * Hk, D)).astype(np.float32))
 
-    k_view = paged_read(pages_k, tables)
+    k_view = paged_read(pages_k, tables)   # head-major [B, Hk, S, D]
     v_view = paged_read(pages_v, tables)
-    oracle = gqa_attention(q, k_view, v_view, (lens - 1)[:, None])
+    oracle = gqa_attention_kmajor(q, k_view, v_view, (lens - 1)[:, None])
     with interpret_pallas(pa):
         got = pa.paged_decode_attention(q, pages_k, pages_v, tables, lens,
                                         page_size)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("B,G", [(2, 7), (3, 4)])
+def test_contiguous_decode_attention_matches_oracle(B, G):
+    """Stacked-cache flash decode kernel vs the XLA oracle."""
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+
+    L, Hk, D, S = 3, 2, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(7)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, S, size=(B,)).astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
+    layer = 1
+
+    assert da.decode_attention_supported(D, S, Hq, Hk)
+    with interpret_pallas(da):
+        got = da.decode_attention_contiguous(q, kc, vc, layer, lens)
+    oracle = gqa_attention_kmajor(q, kc[layer], vc[layer], (lens - 1)[:, None],
+                                  kv_valid_len=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("pos", [0, 5, 8, 63])
+def test_kv_append_uniform_matches_scatter(pos):
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.kvcache.cache import contiguous_write_stacked
+
+    L, B, Hk, S, D = 2, 3, 2, 64, 128
+    rng = np.random.default_rng(8)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    knew = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    vnew = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    layer = 1
+    posv = jnp.full((B, 1), pos, jnp.int32)
+
+    ref_k = contiguous_write_stacked(kc, jnp.int32(layer), knew, posv)
+    ref_v = contiguous_write_stacked(vc, jnp.int32(layer), vnew, posv)
+    with interpret_pallas(ka):
+        got_k, got_v = ka.kv_append_uniform(kc, vc, knew, vnew,
+                                            jnp.int32(pos), layer)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))

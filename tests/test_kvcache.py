@@ -22,7 +22,7 @@ from qwen_inference_engine_tpu.quant.kv_quant import dequantize_kv, quantize_kv
 def test_contiguous_write_scatter_equals_slice():
     B, S, H, D, T = 2, 16, 2, 8, 5
     rng = np.random.default_rng(0)
-    cache = jnp.zeros((B, S, H, D), jnp.float32)
+    cache = jnp.zeros((B, H, S, D), jnp.float32)  # head-major
     new = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     a = contiguous_write(cache, new, pos, fresh_prefill=True)
@@ -39,8 +39,9 @@ def test_paged_write_read_roundtrip():
     new = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     pages = paged_write(pages, new, pos, block_tables, PS)
-    view = paged_read(pages, block_tables)  # [B, 16, H, D]
-    np.testing.assert_allclose(np.asarray(view[:, :T]), np.asarray(new), rtol=1e-6)
+    view = paged_read(pages, block_tables)  # head-major [B, H, 16, D]
+    np.testing.assert_allclose(np.asarray(view[:, :, :T]),
+                               np.asarray(new.swapaxes(1, 2)), rtol=1e-6)
 
 
 def test_pages_required():
