@@ -78,7 +78,7 @@ def main():
         decode_step,
         init_params,
         init_quantized_params,
-        prefill,
+        prefill_chunked,
     )
     from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
@@ -109,7 +109,8 @@ def main():
         return sample(logits, rkey, sp), cache
 
     jit_prefill = jax.jit(
-        lambda p, t, l, c: prefill(p, cfg, t, l, c), donate_argnums=(3,))
+        lambda p, t, l, c: prefill_chunked(p, cfg, t, l, c, chunk=256),
+        donate_argnums=(3,))
     jit_decode = jax.jit(_decode, donate_argnums=(3,))
 
     rng = np.random.default_rng(0)

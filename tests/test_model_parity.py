@@ -110,3 +110,33 @@ def test_prefill_right_padding_invariance():
         return np.asarray(logits)
 
     np.testing.assert_allclose(run(8), run(16), rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_prefill_matches_monolithic():
+    """prefill_chunked == prefill logits and equal subsequent decode."""
+    from qwen_inference_engine_tpu.models.qwen import (
+        decode_step,
+        init_params,
+        prefill,
+        prefill_chunked,
+    )
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    B, T = 2, 24
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)).astype(np.int32))
+    lens = jnp.asarray([T, T - 5], jnp.int32)
+
+    c1 = KVCache.create(cfg.num_layers, B, 64, cfg.num_kv_heads, cfg.head_dim,
+                        dtype=jnp.float32)
+    c2 = KVCache.create(cfg.num_layers, B, 64, cfg.num_kv_heads, cfg.head_dim,
+                        dtype=jnp.float32)
+    l1, c1 = prefill(params, cfg, toks, lens, c1)
+    l2, c2 = prefill_chunked(params, cfg, toks, lens, c2, chunk=8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4)
+
+    nxt = jnp.asarray([7, 9], jnp.int32)
+    d1, _ = decode_step(params, cfg, nxt, lens, c1)
+    d2, _ = decode_step(params, cfg, nxt, lens, c2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=2e-4)
