@@ -63,14 +63,17 @@ def tree_bytes(tree) -> int:
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "32"))
-    steps = int(os.environ.get("BENCH_STEPS", "16" if small else "128"))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "128"))
+    # default: the strongest measured serving point on one v5e chip —
+    # batch 80, 1k prompt, bf16 KV (HBM-capacity-bound), INT4 weights.
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "80"))
+    steps = int(os.environ.get("BENCH_STEPS", "16" if small else "96"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "1024"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
     gs = int(os.environ.get("BENCH_GS", "256"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
     q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
     warmup = 4 if small else 16
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
 
     from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
     from qwen_inference_engine_tpu.kvcache.cache import KVCache
@@ -109,7 +112,7 @@ def main():
         return sample(logits, rkey, sp), cache
 
     jit_prefill = jax.jit(
-        lambda p, t, l, c: prefill_chunked(p, cfg, t, l, c, chunk=256),
+        lambda p, t, l, c: prefill_chunked(p, cfg, t, l, c, chunk=chunk),
         donate_argnums=(3,))
     jit_decode = jax.jit(_decode, donate_argnums=(3,))
 

@@ -265,7 +265,7 @@ def forward_hidden(
                 (B, T, Hq, Dh), (B, T, Hk, Dh))
         elif paged and T == 1 and not cache.quantized:
             use_paged_kernel = paged_attention_supported(Dh, page_size)
-        elif not paged and T == 1 and not cache.quantized:
+        elif not paged and T == 1:
             from qwen_inference_engine_tpu.ops.decode_attention import (
                 decode_attention_supported,
             )
@@ -299,13 +299,27 @@ def forward_hidden(
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
             # — the XLA scatter serializes per batch row (~6.8 ms/step at
             # 7B b128).
-            from qwen_inference_engine_tpu.ops.kv_append import (
-                kv_append_uniform,
-            )
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.kv_append import (
+                    kv_append_uniform_q8,
+                )
 
-            k_c, v_c = kv_append_uniform(
-                cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
-            cache_c = dict(cache_c, k=k_c, v=v_c)
+                qk, sk = quantize_kv(k)
+                qv, sv = quantize_kv(v)
+                k_c, v_c, ks_c, vs_c = kv_append_uniform_q8(
+                    cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"],
+                    qk, qv, sk, sv, positions[0, 0], l)
+                cache_c = dict(cache_c, k=k_c, v=v_c,
+                               k_scale=ks_c, v_scale=vs_c)
+            else:
+                from qwen_inference_engine_tpu.ops.kv_append import (
+                    kv_append_uniform,
+                )
+
+                k_c, v_c = kv_append_uniform(
+                    cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
+                cache_c = dict(cache_c, k=k_c, v=v_c)
         else:
             cache_c = _write_cache_stacked(
                 cache_c, l, k, v, positions, block_tables, page_size,

@@ -93,3 +93,96 @@ def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(pos, jnp.asarray(layer, jnp.int32).reshape(1),
       k_cache, v_cache, kn, vn)
+
+
+# ----------------------------------------------------------------------
+# INT8-KV variant: also updates the per-token-per-head scale arrays
+# [L, B, Hk, S]. S is the LANE dim there, so the RMW band is the
+# 128-lane tile containing pos (lane slices must be full tiles).
+# ----------------------------------------------------------------------
+
+def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
+                              vs_hbm, kn_ref, vn_ref, ksn_ref, vsn_ref,
+                              kc_out, vc_out, ks_out, vs_out,
+                              ktile, vtile, kstile, vstile, sem):
+    del kc_hbm, vc_hbm, ks_hbm, vs_hbm
+    l = layer_ref[0]
+    p = pos_ref[0]
+    t0 = pl.multiple_of((p // 8) * 8, 8)
+    s0 = pl.multiple_of((p // 128) * 128, 128)
+
+    cps = [
+        pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, 8), :], ktile,
+                              sem.at[0]),
+        pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, 8), :], vtile,
+                              sem.at[1]),
+        pltpu.make_async_copy(ks_out.at[l, :, :, pl.ds(s0, 128)], kstile,
+                              sem.at[2]),
+        pltpu.make_async_copy(vs_out.at[l, :, :, pl.ds(s0, 128)], vstile,
+                              sem.at[3]),
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape, dimension=2)
+    sel = row == (p - t0)
+    ktile[:] = jnp.where(sel, kn_ref[:][:, :, None, :], ktile[:])
+    vtile[:] = jnp.where(sel, vn_ref[:][:, :, None, :], vtile[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, kstile.shape, dimension=2)
+    lsel = lane == (p - s0)
+    kstile[:] = jnp.where(lsel, ksn_ref[:][:, :, None], kstile[:])
+    vstile[:] = jnp.where(lsel, vsn_ref[:][:, :, None], vstile[:])
+
+    cps = [
+        pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, 8), :],
+                              sem.at[0]),
+        pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, 8), :],
+                              sem.at[1]),
+        pltpu.make_async_copy(kstile, ks_out.at[l, :, :, pl.ds(s0, 128)],
+                              sem.at[2]),
+        pltpu.make_async_copy(vstile, vs_out.at[l, :, :, pl.ds(s0, 128)],
+                              sem.at[3]),
+    ]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+
+@jax.jit
+def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
+                         k_new, v_new, ks_new, vs_new, position, layer):
+    """INT8-KV uniform append: k/v_new [B, 1, Hk, D] int8, ks/vs_new
+    [B, 1, Hk] f32, same ``position`` for every row. In place."""
+    L, B, Hk, S, D = k_cache.shape
+    kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
+    ksn = ks_new.reshape(B, Hk).astype(jnp.float32)
+    vsn = vs_new.reshape(B, Hk).astype(jnp.float32)
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((B, Hk, 8, D), k_cache.dtype),
+            pltpu.VMEM((B, Hk, 8, D), v_cache.dtype),
+            pltpu.VMEM((B, Hk, 128), jnp.float32),
+            pltpu.VMEM((B, Hk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        _uniform_append_q8_kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (k_cache, v_cache, k_scale, v_scale)),
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pos, jnp.asarray(layer, jnp.int32).reshape(1),
+      k_cache, v_cache, k_scale, v_scale, kn, vn, ksn, vsn)

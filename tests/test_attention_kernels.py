@@ -156,3 +156,56 @@ def test_kv_append_uniform_matches_scatter(pos):
                                             jnp.int32(pos), layer)
     np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
+def test_contiguous_decode_attention_q8_matches_oracle():
+    """INT8-KV flash decode kernel vs dequantize-then-attend oracle."""
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+    from qwen_inference_engine_tpu.quant.kv_quant import dequantize_kv, quantize_kv
+
+    L, B, Hk, G, D, S = 2, 2, 2, 7, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(11)
+    kf = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    kq, ks = quantize_kv(kf)
+    vq, vs = quantize_kv(vf)
+    lens = jnp.asarray([100, 256], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
+    layer = 1
+
+    with interpret_pallas(da):
+        got = da.decode_attention_contiguous_q8(q, kq, vq, ks, vs, layer, lens)
+    k_deq = dequantize_kv(kq[layer], ks[layer], jnp.float32)
+    v_deq = dequantize_kv(vq[layer], vs[layer], jnp.float32)
+    oracle = gqa_attention_kmajor(q, k_deq, v_deq, (lens - 1)[:, None],
+                                  kv_valid_len=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_kv_append_uniform_q8_matches_scatter():
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.kvcache.cache import contiguous_write_stacked
+
+    L, B, Hk, S, D = 2, 3, 2, 256, 128
+    rng = np.random.default_rng(12)
+    kc = jnp.asarray(rng.integers(-100, 100, size=(L, B, Hk, S, D)).astype(np.int8))
+    vc = jnp.asarray(rng.integers(-100, 100, size=(L, B, Hk, S, D)).astype(np.int8))
+    ks = jnp.asarray(rng.normal(size=(L, B, Hk, S)).astype(np.float32))
+    vs = jnp.asarray(rng.normal(size=(L, B, Hk, S)).astype(np.float32))
+    knew = jnp.asarray(rng.integers(-100, 100, size=(B, 1, Hk, D)).astype(np.int8))
+    vnew = jnp.asarray(rng.integers(-100, 100, size=(B, 1, Hk, D)).astype(np.int8))
+    ksn = jnp.asarray(rng.normal(size=(B, 1, Hk)).astype(np.float32))
+    vsn = jnp.asarray(rng.normal(size=(B, 1, Hk)).astype(np.float32))
+    pos, layer = 137, 1
+    posv = jnp.full((B, 1), pos, jnp.int32)
+
+    ref_k = contiguous_write_stacked(kc, jnp.int32(layer), knew, posv)
+    ref_ks = contiguous_write_stacked(ks[..., None], jnp.int32(layer),
+                                      ksn[..., None], posv)[..., 0]
+    with interpret_pallas(ka):
+        gk, gv, gks, gvs = ka.kv_append_uniform_q8(
+            kc, vc, ks, vs, knew, vnew, ksn, vsn, jnp.int32(pos), layer)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(gks), np.asarray(ref_ks))
