@@ -31,7 +31,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.kvcache.cache import KVCache
-from qwen_inference_engine_tpu.models.qwen import decode_step, prefill
+from qwen_inference_engine_tpu.models.qwen import (
+    decode_step,
+    prefill_chunked,
+)
 from qwen_inference_engine_tpu.ops.sampling import (
     SamplingParams,
     sample,
@@ -115,8 +118,8 @@ class Engine:
         cfg, use_pallas = self.cfg, self.use_pallas
 
         def fn(params, tokens, lengths, cache, key, sp, seen):
-            logits, cache = prefill(params, cfg, tokens, lengths, cache,
-                                    use_pallas=use_pallas)
+            logits, cache = prefill_chunked(params, cfg, tokens, lengths, cache,
+                                            chunk=512, use_pallas=use_pallas)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
                 repetition_penalty=sp["repetition_penalty"])
@@ -128,13 +131,14 @@ class Engine:
         donate = (3,)  # cache
         return jax.jit(fn, donate_argnums=donate)
 
-    def _decode_step(self, sp_static):
+    def _decode_step(self, sp_static, uniform: bool):
         cfg, use_pallas = self.cfg, self.use_pallas
         eos = jnp.asarray(list(cfg.eos_token_ids), jnp.int32)
 
         def fn(params, tok, pos, cache, key, sp, seen, done):
             logits, cache = decode_step(params, cfg, tok, pos, cache,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        uniform_decode=uniform)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
                 repetition_penalty=sp["repetition_penalty"])
@@ -148,13 +152,13 @@ class Engine:
 
         return jax.jit(fn, donate_argnums=(3,))
 
-    def _get_jitted(self, kind: str, sp: SamplingParams):
-        key = (kind, sp.top_k, sp.greedy, self.track_repetition)
+    def _get_jitted(self, kind: str, sp: SamplingParams, uniform: bool = False):
+        key = (kind, sp.top_k, sp.greedy, self.track_repetition, uniform)
         if key not in self._jit_cache:
             if kind == "prefill":
                 self._jit_cache[key] = self._prefill_step(sp)
             else:
-                self._jit_cache[key] = self._decode_step(sp)
+                self._jit_cache[key] = self._decode_step(sp, uniform)
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -197,37 +201,44 @@ class Engine:
         cache = self.new_cache()
 
         pre = self._get_jitted("prefill", sp)
-        dec = self._get_jitted("decode", sp)
+        # aligned batch (all prompts same length) -> uniform decode
+        # positions -> single-tile in-place KV appends (ops/kv_append.py)
+        uniform = bool(np.all(lens == lens[0]))
+        dec = self._get_jitted("decode", sp, uniform)
 
         t0 = time.perf_counter()
         tok, cache, seen = pre(self.params, tokens, lens_d, cache,
                                jax.random.fold_in(base_key, 0), sp_dyn, seen)
-        tok.block_until_ready()
+        first = np.asarray(tok)  # value fetch = true sync on this runtime
         ttft = time.perf_counter() - t0
         self.metrics.observe_ttft(ttft)
 
-        out_cols = [np.asarray(tok)]
-        done = jnp.zeros((B,), bool)
-        # a prompt-sampled token can itself be EOS
+        out_cols = [tok]  # device arrays; fetched once at the end
         eos_np = np.asarray(list(self.cfg.eos_token_ids))
-        done = done | jnp.asarray(np.isin(out_cols[0], eos_np))
+        done = jnp.asarray(np.isin(first, eos_np))
 
         t1 = time.perf_counter()
         steps = 0
+        # tokens stay on device; EOS is polled every eos_every steps so the
+        # host never blocks the per-token critical path (a value fetch costs
+        # a full RTT through remote-device transports).
+        eos_every = 16
         for step in range(1, max_new_tokens):
             pos = lens_d + step - 1
             key = jax.random.fold_in(base_key, step)
             tok, cache, seen, done = dec(self.params, tok, pos, cache, key,
                                          sp_dyn, seen, done)
-            out_cols.append(np.asarray(tok))
+            out_cols.append(tok)
             steps += 1
-            if bool(jnp.all(done)):
+            if step % eos_every == 0 and bool(np.asarray(jnp.all(done))):
                 break
+        mat_d = jnp.stack(out_cols, axis=1)
+        mat_np = np.asarray(mat_d)  # single sync for the whole generation
         dt = max(time.perf_counter() - t1, 1e-9)
         n_real = len(prompts)
         self.metrics.observe_decode(steps * n_real, dt)
 
-        mat = np.stack(out_cols, axis=1)  # [B, steps+1]
+        mat = mat_np  # [B, steps+1]
         outs: List[List[int]] = []
         for i in range(n_real):
             row = mat[i].tolist()

@@ -336,6 +336,26 @@ def forward_hidden(
                 attn = flash_attention(q, k, v)
             else:
                 attn = gqa_attention(q, k, v, positions)
+        elif use_contig_kernel:
+            # flash decode straight off the stacked cache (the layer index
+            # rides in scalar prefetch) — slicing the carry materializes a
+            # full layer copy first (~10 ms/step at 7B b128).
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.decode_attention import (
+                    decode_attention_contiguous_q8,
+                )
+
+                attn = decode_attention_contiguous_q8(
+                    q, cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"],
+                    l, positions[:, 0] + 1)
+            else:
+                from qwen_inference_engine_tpu.ops.decode_attention import (
+                    decode_attention_contiguous,
+                )
+
+                attn = decode_attention_contiguous(
+                    q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1)
         else:
             # post-write layer slice; the dynamic-slice read fuses into the
             # attention consumer (no standalone copy of the layer cache).
