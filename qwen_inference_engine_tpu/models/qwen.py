@@ -279,6 +279,15 @@ def forward_hidden(
         cache_arrays = {"k": cache.k, "v": cache.v,
                         "k_scale": cache.k_scale, "v_scale": cache.v_scale}
 
+    # Projections (Linear/QuantLinear pytrees) are NOT scanned xs: a scan
+    # dynamic-slices its xs every iteration, which for custom-call operands
+    # materializes a copy of each weight tensor per layer per step. They
+    # stay closed over in stacked [L, ...] form; the Pallas matmul indexes
+    # them with the layer counter carried through the scan.
+    layers_all = params["layers"]
+    proj_names = ("q", "k", "v", "o", "gate", "up", "down")
+    scanned = {kk: vv for kk, vv in layers_all.items() if kk not in proj_names}
+
     def layer_fn(carry, lp):
         # The cache is a scan CARRY (full stacked [L, ...] arrays, updated
         # in place at layer slice l), NOT scanned xs/ys: scan ys are stacked
@@ -286,9 +295,9 @@ def forward_hidden(
         # cache every step (~70 MB/layer at 7B/b128 — measured ~9 ms/step).
         x, cache_c, l = carry
         h = rms_norm(x, lp["input_norm"], eps)
-        q = apply_linear(h, lp["q"], use_pallas).reshape(B, T, Hq, Dh)
-        k = apply_linear(h, lp["k"], use_pallas).reshape(B, T, Hk, Dh)
-        v = apply_linear(h, lp["v"], use_pallas).reshape(B, T, Hk, Dh)
+        q = apply_linear(h, layers_all["q"], use_pallas, layer=l).reshape(B, T, Hq, Dh)
+        k = apply_linear(h, layers_all["k"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
+        v = apply_linear(h, layers_all["v"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
         if cfg.qk_norm:
             q = qk_norm(q, lp["q_norm"], eps)
             k = qk_norm(k, lp["k_norm"], eps)
@@ -374,15 +383,17 @@ def forward_hidden(
                                                  page_size, dtype)
                 attn = gqa_attention_kmajor(q, k_all, v_all, positions)
 
-        x = x + apply_linear(attn.reshape(B, T, Hq * Dh), lp["o"], use_pallas)
+        x = x + apply_linear(attn.reshape(B, T, Hq * Dh), layers_all["o"],
+                             use_pallas, layer=l)
         h = rms_norm(x, lp["post_norm"], eps)
-        gate = apply_linear(h, lp["gate"], use_pallas)
-        up = apply_linear(h, lp["up"], use_pallas)
-        x = x + apply_linear(jax.nn.silu(gate) * up, lp["down"], use_pallas)
+        gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
+        up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
+        x = x + apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
+                             use_pallas, layer=l)
         return (x, cache_c, l + 1), None
 
     (x, new_cache_arrays, _), _ = jax.lax.scan(
-        layer_fn, (x, cache_arrays, jnp.int32(0)), params["layers"])
+        layer_fn, (x, cache_arrays, jnp.int32(0)), scanned)
     x = rms_norm(x, params["final_norm"], eps)
 
     if paged:

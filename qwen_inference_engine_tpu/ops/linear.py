@@ -148,22 +148,36 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
     return y.reshape(*lead, n).astype(x.dtype)
 
 
-def apply_linear(x: jax.Array, lin, use_pallas: bool = True) -> jax.Array:
-    """``x [..., in] @ lin -> [..., out]`` for Linear or QuantLinear."""
+def apply_linear(x: jax.Array, lin, use_pallas: bool = True,
+                 layer=None) -> jax.Array:
+    """``x [..., in] @ lin -> [..., out]`` for Linear or QuantLinear.
+
+    For a layer-STACKED QuantLinear (q ``[L, K/pack, N]``) pass ``layer``
+    (traced scalar): the Pallas kernel indexes the stacked weights directly
+    (no dynamic-slice copy inside a layer scan)."""
+    stacked = layer is not None
     if isinstance(lin, Linear):
-        y = jnp.dot(x, lin.w.astype(x.dtype), preferred_element_type=jnp.float32)
+        w = lin.w[layer] if stacked else lin.w
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         y = y.astype(x.dtype)
     elif isinstance(lin, QuantLinear):
         if use_pallas and _pallas_available():
             from qwen_inference_engine_tpu.ops.quant_matmul import quant_matmul_pallas
 
-            y = quant_matmul_pallas(x, lin)
+            y = quant_matmul_pallas(x, lin, layer=layer)
         else:
-            y = _quant_matmul_xla(x, lin)
+            lin2 = lin
+            if stacked:
+                import dataclasses as _dc
+
+                lin2 = _dc.replace(lin, q=lin.q[layer],
+                                   scales=lin.scales[layer], b=None)
+            y = _quant_matmul_xla(x, lin2)
     else:
         raise TypeError(f"not a linear: {type(lin)}")
     if lin.b is not None:
-        y = y + lin.b.astype(y.dtype)
+        b = lin.b[layer] if stacked else lin.b
+        y = y + b.astype(y.dtype)
     return y
 
 

@@ -47,7 +47,9 @@ from qwen_inference_engine_tpu.ops import linear as _linear
 # INT4: plane-packed, two mixed dots per k-tile, post-dot group scales
 # ----------------------------------------------------------------------
 
-def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles):
+def _qmm4_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref,
+                 *, k_tiles):
+    del layer_ref  # consumed by the BlockSpec index maps
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
@@ -56,7 +58,7 @@ def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles):
 
     # byte = 16*hi + (lo+8): '&' gives lo+8 in [0,15]; subtract-then-shift
     # gives hi sign-correct (arithmetic shift of a multiple of 16).
-    b = q_ref[:].astype(jnp.int32)
+    b = q_ref[0].astype(jnp.int32)
     l8 = jnp.bitwise_and(b, 0xF)
     lo = l8.astype(jnp.int8)                       # lo+8
     hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
@@ -66,7 +68,7 @@ def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles):
                              preferred_element_type=jnp.float32)
     # excess-8 correction for the lo plane: dot(x, lo+8) - 8*rowsum(x)
     sxe = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True) * 8.0
-    acc_ref[:] += (pe - sxe) * s_ref[0, 0:1, :] + po * s_ref[0, 1:2, :]
+    acc_ref[:] += (pe - sxe) * s_ref[0, 0, 0:1, :] + po * s_ref[0, 0, 1:2, :]
 
     @pl.when(kt == k_tiles - 1)
     def _():
@@ -74,9 +76,12 @@ def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles):
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_m", "block_n"))
-def _quant_matmul4(x, q, scales, *, group_size, block_m, block_n):
+def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n):
+    """q [L, K/2, N] stacked packed weights; ``layer`` (scalar-prefetched)
+    picks the layer — blocks are read straight from the stacked array, so a
+    lax.scan over layers never slices (= copies) a weight tensor."""
     m, k = x.shape
-    n = q.shape[-1]
+    L, _, n = q.shape
     gs = group_size
     bk = 2 * gs
     assert k % bk == 0 and m % block_m == 0 and n % block_n == 0
@@ -86,35 +91,42 @@ def _quant_matmul4(x, q, scales, *, group_size, block_m, block_n):
     xm = x.reshape(m, k_tiles, 2, gs)
     xe = xm[:, :, 0, :].reshape(m, k // 2)
     xo = xm[:, :, 1, :].reshape(m, k // 2)
-    scales3 = scales.reshape(k_tiles, 2, n)
+    scales4 = scales.reshape(L, k_tiles, 2, n)
 
     kernel = functools.partial(_qmm4_kernel, k_tiles=k_tiles)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(m // block_m, n // block_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((block_m, gs), lambda mt, nt, kt: (mt, kt),
+            pl.BlockSpec((block_m, gs), lambda mt, nt, kt, lr: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, gs), lambda mt, nt, kt: (mt, kt),
+            pl.BlockSpec((block_m, gs), lambda mt, nt, kt, lr: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, block_n), lambda mt, nt, kt: (kt, nt),
+            pl.BlockSpec((1, gs, block_n), lambda mt, nt, kt, lr: (lr[0], kt, nt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, block_n), lambda mt, nt, kt: (kt, 0, nt),
+            pl.BlockSpec((1, 1, 2, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, 0, nt),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda mt, nt, kt: (mt, nt),
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda mt, nt, kt, lr: (mt, nt),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + (k // 2) * n + scales.size * 4 + m * n * 2,
+            bytes_accessed=m * k * 2 + (k // 2) * n + (scales.size // L) * 4
+            + m * n * 2,
             transcendentals=0,
         ),
-    )(xe, xo, q, scales3)
+    )(layer.reshape(1), xe, xo, q, scales4)
 
 
 # ----------------------------------------------------------------------
@@ -122,17 +134,19 @@ def _quant_matmul4(x, q, scales, *, group_size, block_m, block_n):
 # epilogue (per-channel, gs == K)
 # ----------------------------------------------------------------------
 
-def _qmm8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles, per_tile):
+def _qmm8_kernel(layer_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles,
+                 per_tile):
+    del layer_ref
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    part = jax.lax.dot_general(x_ref[:], q_ref[:], (((1,), (0,)), ((), ())),
+    part = jax.lax.dot_general(x_ref[:], q_ref[0], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     if per_tile:
-        acc_ref[:] += part * s_ref[0]
+        acc_ref[:] += part * s_ref[0, 0]
     else:
         acc_ref[:] += part
 
@@ -141,52 +155,64 @@ def _qmm8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles, per_tile):
         if per_tile:
             o_ref[:] = acc_ref[:].astype(o_ref.dtype)
         else:
-            o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+            o_ref[:] = (acc_ref[:] * s_ref[0, 0]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_m",
                                              "block_k", "block_n"))
-def _quant_matmul8(x, q, scales, *, group_size, block_m, block_k, block_n):
+def _quant_matmul8(x, q, scales, layer, *, group_size, block_m, block_k,
+                   block_n):
+    """q [L, K, N] stacked int8 weights; ``layer`` picks the layer via the
+    BlockSpec index maps (no weight slicing in the layer scan)."""
     m, k = x.shape
-    n = q.shape[-1]
-    groups = scales.shape[0]
+    L, _, n = q.shape
+    groups = scales.shape[-2]
     assert m % block_m == 0 and k % block_k == 0 and n % block_n == 0
     k_tiles = k // block_k
     per_tile = groups > 1
     if per_tile:
         assert groups == k_tiles, (groups, k_tiles)
-        s3 = scales.reshape(k_tiles, 1, n)
-        s_spec = pl.BlockSpec((1, 1, block_n), lambda mt, nt, kt: (kt, 0, nt),
+        s3 = scales.reshape(L, k_tiles, 1, n)
+        s_spec = pl.BlockSpec((1, 1, 1, block_n),
+                              lambda mt, nt, kt, lr: (lr[0], kt, 0, nt),
                               memory_space=pltpu.VMEM)
     else:
-        s3 = scales.reshape(1, 1, n)
-        s_spec = pl.BlockSpec((1, 1, block_n), lambda mt, nt, kt: (0, 0, nt),
+        s3 = scales.reshape(L, 1, 1, n)
+        s_spec = pl.BlockSpec((1, 1, 1, block_n),
+                              lambda mt, nt, kt, lr: (lr[0], 0, 0, nt),
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_qmm8_kernel, k_tiles=k_tiles, per_tile=per_tile)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(m // block_m, n // block_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt: (mt, kt),
+            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt, lr: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda mt, nt, kt: (kt, nt),
+            pl.BlockSpec((1, block_k, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, nt),
                          memory_space=pltpu.VMEM),
             s_spec,
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda mt, nt, kt: (mt, nt),
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda mt, nt, kt, lr: (mt, nt),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + k * n + scales.size * 4 + m * n * 2,
+            bytes_accessed=m * k * 2 + k * n + (scales.size // L) * 4
+            + m * n * 2,
             transcendentals=0,
         ),
-    )(x, q, s3)
+    )(layer.reshape(1), x, q, s3)
 
 
 # ----------------------------------------------------------------------
@@ -227,9 +253,18 @@ def _pick_bm(m: int) -> int:
     return 0
 
 
-def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
-    """x [..., K] @ QuantLinear -> [..., N]; falls back to the XLA path for
-    shapes the kernel doesn't tile (unaligned K/N/group)."""
+def quant_matmul_pallas(x: jax.Array, lin, layer=None,
+                        block_override=None) -> jax.Array:
+    """x [..., K] @ QuantLinear -> [..., N].
+
+    ``lin`` may be a single layer (q ``[K/pack, N]``) or the whole stacked
+    model (q ``[L, K/pack, N]``) with ``layer`` a traced scalar index: the
+    kernel then reads layer blocks straight from the stacked array — inside
+    a lax.scan over layers this avoids the per-iteration dynamic-slice that
+    would otherwise copy every weight tensor every step.
+
+    Falls back to the XLA path for shapes the kernel doesn't tile."""
+    stacked = lin.q.ndim == 3
     k = lin.in_features
     n = lin.out_features
     gs = lin.group_size
@@ -258,13 +293,23 @@ def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
             bn = _pick_bn(n, bm, bk, int4=False)
         ok = bn > 0
     if not ok:
-        return _linear._quant_matmul_xla(x, lin)
+        lin2 = lin
+        if stacked:
+            import dataclasses as _dc
+
+            lin2 = _dc.replace(lin, q=lin.q[layer], scales=lin.scales[layer],
+                               b=None)
+        return _linear._quant_matmul_xla(x, lin2)
+
+    q3 = lin.q if stacked else lin.q[None]
+    s3 = lin.scales if stacked else lin.scales[None]
+    lidx = jnp.asarray(layer if stacked else 0, jnp.int32)
 
     x2 = x.reshape(m, k).astype(jnp.bfloat16)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     if lin.bits == 4:
-        y = _quant_matmul4(x2, lin.q, lin.scales, group_size=gs,
+        y = _quant_matmul4(x2, q3, s3, lidx, group_size=gs,
                            block_m=bm, block_n=bn)
     else:
         groups = lin.scales.shape[-2]
@@ -274,7 +319,7 @@ def quant_matmul_pallas(x: jax.Array, lin, block_override=None) -> jax.Array:
                 bk //= 2
         else:
             bk = k // groups
-        y = _quant_matmul8(x2, lin.q, lin.scales, group_size=gs,
+        y = _quant_matmul8(x2, q3, s3, lidx, group_size=gs,
                            block_m=bm, block_k=bk, block_n=bn)
     if m_pad != m:
         y = y[:m]

@@ -153,3 +153,21 @@ ka_mod.kv_append_uniform = orig_ka
 
 print(f"contig attn kernel : {base-no_da:6.2f} ms")
 print(f"uniform append     : {base-no_ka:6.2f} ms")
+
+# ablate ALL linear matmuls (weights never touched)
+from qwen_inference_engine_tpu.ops import linear as lin_mod
+
+orig_apply = lin_mod.apply_linear
+
+
+def fake_apply(x, lin, use_pallas=True):
+    out = lin.out_features if hasattr(lin, "out_features") else lin.w.shape[-1]
+    return jnp.zeros((*x.shape[:-1], out), x.dtype) + x[..., :1]
+
+
+lin_mod.apply_linear = fake_apply
+qw.apply_linear = fake_apply
+no_mm = run_steps("all linears -> stub")
+lin_mod.apply_linear = orig_apply
+qw.apply_linear = orig_apply
+print(f"linears (in-graph) : {base-no_mm:6.2f} ms")
