@@ -64,16 +64,17 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
     # default: the strongest measured serving point on one v5e chip —
-    # batch 80, 1k prompt, bf16 KV (HBM-capacity-bound), INT4 weights.
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "80"))
+    # batch 112, ~900-token prompts, bf16 KV (HBM-capacity-bound), INT4
+    # weights (4961 tok/s/chip, 62% of the 85%-of-roofline target).
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "112"))
     steps = int(os.environ.get("BENCH_STEPS", "16" if small else "96"))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "1024"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "896"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
     gs = int(os.environ.get("BENCH_GS", "256"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
     q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
     warmup = 4 if small else 16
-    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
 
     from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
     from qwen_inference_engine_tpu.kvcache.cache import KVCache
