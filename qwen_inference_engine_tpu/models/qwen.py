@@ -365,23 +365,24 @@ def forward_hidden(
 
                 attn = decode_attention_contiguous(
                     q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1)
+        elif use_paged_kernel:
+            # stacked page pool; the layer index rides in scalar prefetch
+            # (slicing the pool copies it — see ops/decode_attention.py).
+            from qwen_inference_engine_tpu.ops.paged_attention import (
+                paged_decode_attention_stacked,
+            )
+
+            attn = paged_decode_attention_stacked(
+                q, cache_c["k"], cache_c["v"], block_tables,
+                positions[:, 0] + 1, page_size, l)
         else:
             # post-write layer slice; the dynamic-slice read fuses into the
             # attention consumer (no standalone copy of the layer cache).
             cslices = {kk: (vv[l] if vv is not None else None)
                        for kk, vv in cache_c.items()}
-            if use_paged_kernel:
-                from qwen_inference_engine_tpu.ops.paged_attention import (
-                    paged_decode_attention,
-                )
-
-                attn = paged_decode_attention(
-                    q, cslices["k"], cslices["v"], block_tables,
-                    positions[:, 0] + 1, page_size)
-            else:
-                k_all, v_all = _read_layer_cache(cslices, block_tables,
-                                                 page_size, dtype)
-                attn = gqa_attention_kmajor(q, k_all, v_all, positions)
+            k_all, v_all = _read_layer_cache(cslices, block_tables,
+                                             page_size, dtype)
+            attn = gqa_attention_kmajor(q, k_all, v_all, positions)
 
         x = x + apply_linear(attn.reshape(B, T, Hq * Dh), layers_all["o"],
                              use_pallas, layer=l)

@@ -8,11 +8,21 @@ BlockSpec index map, so Mosaic's pipeline DMAs exactly the pages a
 sequence owns, ragged lengths and all, with no gather materialization
 (the XLA fallback in kvcache.paged_read) and no pointer walks.
 
-Grid: (B, Hk, max_pages), pages innermost with online softmax across
-pages.  All G = Hq/Hk query heads of a KV head are processed together as
-one [G, D] tile (GQA mapping by index arithmetic — the reference hardcodes
-``head_id = blockIdx.x / 5``, self_attension.cu:33).  Pages past a
-sequence's length are skipped via pl.when on the prefetched length.
+Two entry points:
+
+* ``paged_decode_attention`` — one layer's page pool ``[P, Hk, page, D]``
+  (oracle-matching, used by tests and non-scan callers);
+* ``paged_decode_attention_stacked`` — the STACKED pool
+  ``[L, P, Hk, page, D]`` with the layer index in scalar prefetch. Inside
+  the model's layer scan this avoids the per-layer dynamic-slice of the
+  whole pool (a full copy per layer per step, same pathology the
+  contiguous cache had — see ops/decode_attention.py).
+
+Grid is (B, max_pages) with ALL KV heads of a sequence processed per cell
+(static head loop) — per-grid-cell fixed overhead (~0.4 us) dominates
+decode kernels, so cells must carry as much work as possible. Pages past
+a sequence's length are never fetched: the index map clamps to the last
+valid page and Mosaic skips the DMA when the block index repeats.
 """
 
 from __future__ import annotations
@@ -27,10 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _paged_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, scale, page_size, pages_max):
+def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
+                  o_ref, acc_ref, m_ref, l_ref, *, scale, page_size, n_kv):
     b = pl.program_id(0)
-    pt = pl.program_id(2)
+    pt = pl.program_id(1)
+    n_pt = pl.num_programs(1)
+    GP = q_ref.shape[2]
 
     @pl.when(pt == 0)
     def _():
@@ -42,60 +54,67 @@ def _paged_kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(pt * page_size < seq_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale        # [GP, D]
-        k = k_ref[0, 0].astype(jnp.float32)                # [page, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [GP, page]
         k_pos = pt * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < seq_len, s, _NEG_INF)
+            jnp.int32, (GP, page_size), 1)
+        valid = k_pos < seq_len
+        for h in range(n_kv):  # all KV heads of the sequence in one cell
+            q = q_ref[0, h]                                # [GP, D]
+            k = k_ref[0, 0, h]                             # [page, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, _NEG_INF)
 
-        m_prev = m_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        v = v_ref[0, 0].astype(jnp.float32)                # [page, D]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
+            sl = slice(h * GP, (h + 1) * GP)
+            m_prev = m_ref[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[sl] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[sl] = acc_ref[sl] * alpha + pv
 
-    @pl.when(pt == pages_max - 1)
+    @pl.when(pt == n_pt - 1)
     def _():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "page_size"))
-def _paged_bhgd(q, k_pages, v_pages, tables, lens, *, scale, page_size):
+def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale, page_size):
+    """q [B, Hk, GP, D]; pools stacked [L, P, Hk, page, D]."""
     B, Hk, GP, D = q.shape
     pages_max = tables.shape[1]
+
+    def kv_index(b, pt, tables, lens, layer):
+        # clamp to the last page this row needs (repeat index => no DMA)
+        last = jnp.maximum(lens[b] - 1, 0) // page_size
+        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0, 0)
+
     kernel = functools.partial(
-        _paged_kernel, scale=scale, page_size=page_size, pages_max=pages_max)
+        _paged_kernel, scale=scale, page_size=page_size, n_kv=Hk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, Hk, pages_max),
+        num_scalar_prefetch=3,
+        grid=(B, pages_max),
         in_specs=[
-            pl.BlockSpec((1, 1, GP, D),
-                         lambda b, kh, pt, tables, lens: (b, kh, 0, 0),
+            pl.BlockSpec((1, Hk, GP, D),
+                         lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, D),
-                         lambda b, kh, pt, tables, lens: (tables[b, pt], kh, 0, 0),
+            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, D),
-                         lambda b, kh, pt, tables, lens: (tables[b, pt], kh, 0, 0),
+            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, GP, D),
-                               lambda b, kh, pt, tables, lens: (b, kh, 0, 0),
+        out_specs=pl.BlockSpec((1, Hk, GP, D),
+                               lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((GP, D), jnp.float32),
-            pltpu.VMEM((GP, 128), jnp.float32),
-            pltpu.VMEM((GP, 128), jnp.float32),
+            pltpu.VMEM((Hk * GP, D), jnp.float32),
+            pltpu.VMEM((Hk * GP, 1), jnp.float32),
+            pltpu.VMEM((Hk * GP, 1), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -103,13 +122,49 @@ def _paged_bhgd(q, k_pages, v_pages, tables, lens, *, scale, page_size):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hk, GP, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(tables, lens, q, k_pages, v_pages)
+    )(tables, lens, layer, q, k_pages, v_pages)
 
 
 def paged_attention_supported(head_dim: int, page_size: int) -> bool:
     return head_dim % 128 == 0 and page_size % 8 == 0 and page_size >= 8
+
+
+def _prep_q(q, Hk):
+    B, T, Hq, D = q.shape
+    assert T == 1, "paged decode attention is a decode (T=1) kernel"
+    G = Hq // Hk
+    GP = max(8, G)
+    qh = q[:, 0].reshape(B, Hk, G, D)
+    if GP != G:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, GP - G), (0, 0)))
+    return qh, G
+
+
+def paged_decode_attention_stacked(
+    q: jax.Array,           # [B, 1, Hq, D] (decode step)
+    k_pages: jax.Array,     # [L, P, Hk, page, D] stacked page pool
+    v_pages: jax.Array,
+    block_tables: jax.Array,  # [B, max_pages] int32
+    seq_lens: jax.Array,      # [B] int32 — number of VALID kv tokens
+    page_size: int,
+    layer,                    # scalar int32
+    scale: float | None = None,
+) -> jax.Array:
+    """Decode-step GQA attention straight off the stacked page pool."""
+    B, T, Hq, D = q.shape
+    Hk = k_pages.shape[2]
+    G = Hq // Hk
+    if scale is None:
+        scale = D ** -0.5
+    qh, G = _prep_q(q, Hk)
+    out = _paged_bhgd(qh, k_pages, v_pages,
+                      block_tables.astype(jnp.int32),
+                      seq_lens.astype(jnp.int32),
+                      jnp.asarray(layer, jnp.int32).reshape(1),
+                      scale=float(scale), page_size=page_size)
+    return out[:, :, :G, :].reshape(B, 1, Hq, D)
 
 
 def paged_decode_attention(
@@ -117,28 +172,15 @@ def paged_decode_attention(
     k_pages: jax.Array,     # [P, Hk, page, D] (one layer's slice)
     v_pages: jax.Array,
     block_tables: jax.Array,  # [B, max_pages] int32
-    seq_lens: jax.Array,      # [B] int32 — number of VALID kv tokens
+    seq_lens: jax.Array,      # [B] int32
     page_size: int,
     scale: float | None = None,
 ) -> jax.Array:
-    """Decode-step GQA attention straight off the page pool.
+    """Single-layer wrapper (oracle-matching; tests and non-scan callers).
 
-    Semantics match gqa_attention over paged_read with positions=len-1
-    (the test oracle). Returns [B, 1, Hq, D].
+    Semantics match gqa_attention over paged_read with positions=len-1.
+    Returns [B, 1, Hq, D].
     """
-    B, T, Hq, D = q.shape
-    assert T == 1, "paged_decode_attention is a decode (T=1) kernel"
-    Hk = k_pages.shape[1]
-    G = Hq // Hk
-    GP = max(8, G)
-    if scale is None:
-        scale = D ** -0.5
-    qh = q[:, 0].reshape(B, Hk, G, D)
-    if GP != G:
-        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, GP - G), (0, 0)))
-    out = _paged_bhgd(qh, k_pages, v_pages,
-                      block_tables.astype(jnp.int32),
-                      seq_lens.astype(jnp.int32),
-                      scale=float(scale), page_size=page_size)
-    out = out[:, :, :G, :].reshape(B, 1, Hq, D)
-    return out
+    return paged_decode_attention_stacked(
+        q, k_pages[None], v_pages[None], block_tables, seq_lens, page_size,
+        0, scale=scale)
