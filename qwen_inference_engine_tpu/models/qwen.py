@@ -101,6 +101,11 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
 
     def qlin(kin: int, out: int, bias: bool) -> QuantLinear:
         if bits == 4:
+            # mirror quantize_linear's reduction-axis padding
+            kt = -(-kin // (2 * group_size))
+            if kt > 20 and kt % 2 == 1:
+                kt += 1
+            kin = kt * 2 * group_size
             # random packed bytes: full int8 range decodes to full nibble range
             q = jax.random.randint(next(ks), (L, kin // pack, out), -128, 128,
                                    dtype=jnp.int8)

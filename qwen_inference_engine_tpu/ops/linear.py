@@ -139,6 +139,8 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
     groups = lin.scales.shape[0]
     gs = k // groups
     lead = x.shape[:-1]
+    if x.shape[-1] < k:  # quantizer-padded reduction axis (see quantize.py)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k - x.shape[-1])])
     xg = x.reshape(-1, groups, gs).astype(jnp.float32)
     qg = q.reshape(groups, gs, n).astype(jnp.float32)
     # fold scales into the weight operand; XLA fuses the multiply into the

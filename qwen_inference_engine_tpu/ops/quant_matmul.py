@@ -48,7 +48,7 @@ from qwen_inference_engine_tpu.ops import linear as _linear
 # ----------------------------------------------------------------------
 
 def _qmm4_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref,
-                 *, k_tiles):
+                 *, k_tiles, ppt, gs):
     del layer_ref  # consumed by the BlockSpec index maps
     kt = pl.program_id(2)
 
@@ -58,54 +58,66 @@ def _qmm4_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref,
 
     # byte = 16*hi + (lo+8): '&' gives lo+8 in [0,15]; subtract-then-shift
     # gives hi sign-correct (arithmetic shift of a multiple of 16).
-    b = q_ref[0].astype(jnp.int32)
-    l8 = jnp.bitwise_and(b, 0xF)
-    lo = l8.astype(jnp.int8)                       # lo+8
-    hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
-    pe = jax.lax.dot_general(xe_ref[:], lo, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    po = jax.lax.dot_general(xo_ref[:], hi, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # excess-8 correction for the lo plane: dot(x, lo+8) - 8*rowsum(x)
-    sxe = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True) * 8.0
-    acc_ref[:] += (pe - sxe) * s_ref[0, 0, 0:1, :] + po * s_ref[0, 0, 1:2, :]
+    # ppt plane-pairs per k-tile (static loop) keeps the k-tile count — and
+    # the serial accumulation chain — short for huge-K projections.
+    acc = acc_ref[:]
+    for p in range(ppt):
+        sl = slice(p * gs, (p + 1) * gs)
+        b = q_ref[0, sl].astype(jnp.int32)
+        l8 = jnp.bitwise_and(b, 0xF)
+        lo = l8.astype(jnp.int8)                   # lo+8
+        hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+        xe = xe_ref[:, sl]
+        pe = jax.lax.dot_general(xe, lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        po = jax.lax.dot_general(xo_ref[:, sl], hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # excess-8 correction for the lo plane: dot(x, lo+8) - 8*rowsum(x)
+        sxe = jnp.sum(xe.astype(jnp.float32), axis=1, keepdims=True) * 8.0
+        acc = acc + (pe - sxe) * s_ref[0, 0, p, 0:1, :] \
+                  + po * s_ref[0, 0, p, 1:2, :]
+    acc_ref[:] = acc
 
     @pl.when(kt == k_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "block_m", "block_n"))
-def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n):
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_n", "ppt"))
+def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n,
+                   ppt=1):
     """q [L, K/2, N] stacked packed weights; ``layer`` (scalar-prefetched)
     picks the layer — blocks are read straight from the stacked array, so a
-    lax.scan over layers never slices (= copies) a weight tensor."""
+    lax.scan over layers never slices (= copies) a weight tensor.
+    ``ppt`` plane-pairs per k-tile (k-tile = ppt*2*gs logical rows)."""
     m, k = x.shape
     L, _, n = q.shape
     gs = group_size
-    bk = 2 * gs
+    bk = 2 * gs * ppt
     assert k % bk == 0 and m % block_m == 0 and n % block_n == 0
     k_tiles = k // bk
     # parity split: even groups -> xe columns, odd groups -> xo columns;
-    # each is [m, k/2] with tile t's slice at columns [t*gs, (t+1)*gs).
-    xm = x.reshape(m, k_tiles, 2, gs)
+    # each is [m, k/2] with pair p's slice at columns [p*gs, (p+1)*gs).
+    xm = x.reshape(m, k // (2 * gs), 2, gs)
     xe = xm[:, :, 0, :].reshape(m, k // 2)
     xo = xm[:, :, 1, :].reshape(m, k // 2)
-    scales4 = scales.reshape(L, k_tiles, 2, n)
+    scales5 = scales.reshape(L, k_tiles, ppt, 2, n)
 
-    kernel = functools.partial(_qmm4_kernel, k_tiles=k_tiles)
+    kernel = functools.partial(_qmm4_kernel, k_tiles=k_tiles, ppt=ppt, gs=gs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m // block_m, n // block_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((block_m, gs), lambda mt, nt, kt, lr: (mt, kt),
+            pl.BlockSpec((block_m, ppt * gs), lambda mt, nt, kt, lr: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, gs), lambda mt, nt, kt, lr: (mt, kt),
+            pl.BlockSpec((block_m, ppt * gs), lambda mt, nt, kt, lr: (mt, kt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gs, block_n), lambda mt, nt, kt, lr: (lr[0], kt, nt),
+            pl.BlockSpec((1, ppt * gs, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, nt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, block_n),
-                         lambda mt, nt, kt, lr: (lr[0], kt, 0, nt),
+            pl.BlockSpec((1, 1, ppt, 2, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, 0, 0, nt),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n),
@@ -126,7 +138,7 @@ def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n):
             + m * n * 2,
             transcendentals=0,
         ),
-    )(layer.reshape(1), xe, xo, q, scales4)
+    )(layer.reshape(1), xe, xo, q, scales5)
 
 
 # ----------------------------------------------------------------------
@@ -265,7 +277,8 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
 
     Falls back to the XLA path for shapes the kernel doesn't tile."""
     stacked = lin.q.ndim == 3
-    k = lin.in_features
+    k = lin.in_features          # possibly padded by the quantizer
+    k_x = x.shape[-1]            # the model's logical K
     n = lin.out_features
     gs = lin.group_size
     lead = x.shape[:-1]
@@ -274,7 +287,7 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
         m *= d
     m_pad = max(8, -(-m // 8) * 8)
     bm = _pick_bm(m_pad)
-    ok = bm and n % 128 == 0
+    ok = bm and n % 128 == 0 and k >= k_x
     if lin.bits == 4:
         ok = ok and k % (2 * gs) == 0 and gs % 128 == 0
     else:
@@ -305,12 +318,17 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
     s3 = lin.scales if stacked else lin.scales[None]
     lidx = jnp.asarray(layer if stacked else 0, jnp.int32)
 
-    x2 = x.reshape(m, k).astype(jnp.bfloat16)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    x2 = x.reshape(m, k_x).astype(jnp.bfloat16)
+    if m_pad != m or k != k_x:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, k - k_x)))
     if lin.bits == 4:
+        # shorten the serial k-tile accumulation chain for huge-K
+        # projections by packing several plane-pairs into one tile
+        ppt, kt = 1, k // (2 * gs)
+        while kt > 20 and kt % 2 == 0 and ppt < 4:
+            ppt, kt = ppt * 2, kt // 2
         y = _quant_matmul4(x2, q3, s3, lidx, group_size=gs,
-                           block_m=bm, block_n=bn)
+                           block_m=bm, block_n=bn, ppt=ppt)
     else:
         groups = lin.scales.shape[-2]
         if groups == 1:

@@ -66,6 +66,17 @@ def quantize_linear(lin: Linear, bits: int, group_size: Optional[int] = None) ->
     """
     w = lin.w.astype(jnp.float32)
     k = w.shape[-2]
+    if bits == 4:
+        # pad the reduction axis so the kernel can halve a long, odd k-tile
+        # chain (e.g. Qwen 7B down-proj: K=18944=512*37 -> 19456=1024*19).
+        gs0 = group_size or 128
+        kt = -(-k // (2 * gs0))
+        if kt > 20 and kt % 2 == 1:
+            kt += 1
+        k_pad = kt * 2 * gs0
+        if k_pad != k:
+            w = jnp.pad(w, [(0, 0)] * (w.ndim - 2) + [(0, k_pad - k), (0, 0)])
+            k = k_pad
     if bits == 8:
         gs = group_size or k  # default: per-output-channel (one group)
         qmax = 127.0
