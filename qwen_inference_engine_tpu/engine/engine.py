@@ -92,6 +92,12 @@ class Engine:
         self.kv_dtype = kv_dtype
         self.sampling = sampling or SamplingParams()
         self.seed = seed
+        # Pallas custom calls are not GSPMD-partitionable: under a
+        # multi-device mesh the sharded XLA paths (einsum attention, fused
+        # dequant einsum) are used instead; wrapping the kernels in
+        # shard_map is future work.
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            use_pallas = False
         self.use_pallas = use_pallas
         self.metrics = Metrics()
         if track_repetition is None:
