@@ -233,8 +233,12 @@ def forward_hidden(
     use_pallas: bool = True,
     attn_impl: str = "auto",
     uniform_decode: bool = False,
+    kv_window: Optional[int] = None,
 ) -> Tuple[jax.Array, object]:
     """Run the transformer stack; returns (hidden [B,T,D], updated cache).
+
+    kv_window: static upper bound on valid KV length (chunked prefill) —
+    the XLA attention path then reads only that prefix of the cache.
 
     attn_impl: "auto" (Pallas flash/paged kernels where supported on TPU,
     XLA einsum attention otherwise), "xla" (always einsum), "pallas"
@@ -385,6 +389,11 @@ def forward_hidden(
             # attention consumer (no standalone copy of the layer cache).
             cslices = {kk: (vv[l] if vv is not None else None)
                        for kk, vv in cache_c.items()}
+            if kv_window is not None and page_size is None:
+                # static prefix slice: chunk i of a chunked prefill only
+                # ever attends to the first (i+1)*chunk positions
+                cslices = {kk: (vv[:, :, :kv_window] if vv is not None else None)
+                           for kk, vv in cslices.items()}
             k_all, v_all = _read_layer_cache(cslices, block_tables,
                                              page_size, dtype)
             attn = gqa_attention_kmajor(q, k_all, v_all, positions)
@@ -496,6 +505,7 @@ def prefill_chunked(
             params, cfg, tc, positions, cache, block_tables,
             fresh_prefill=(i == 0), use_pallas=use_pallas,
             attn_impl=attn_impl, uniform_decode=(block_tables is None),
+            kv_window=(i + 1) * chunk,
         )
         if hidden_last is None:
             hidden_last = jnp.zeros((B, cfg.hidden_size), hidden.dtype)
