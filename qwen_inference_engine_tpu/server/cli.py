@@ -21,6 +21,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="preset name or HF checkpoint dir")
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir with safetensors (random init if absent)")
+    p.add_argument("--qckpt", default=None,
+                   help="pre-quantized checkpoint dir (from `qie quantize`)")
     p.add_argument("--bits", type=int, default=16, choices=(4, 8, 16),
                    help="weight-only quantization")
     p.add_argument("--group-size", type=int, default=128)
@@ -61,7 +63,12 @@ def build_model(args):
     from qwen_inference_engine_tpu.quant.quantize import QuantConfig, quantize_params
     from qwen_inference_engine_tpu.tokenizer import load_tokenizer
 
-    if args.ckpt:
+    if getattr(args, "qckpt", None):
+        from qwen_inference_engine_tpu.loader.qcheckpoint import load_quantized
+
+        cfg, params = load_quantized(args.qckpt)
+        tok = load_tokenizer(args.ckpt or args.qckpt)
+    elif args.ckpt:
         cfg, params = load_checkpoint(args.ckpt)
         tok = load_tokenizer(args.ckpt)
     elif args.model == "tiny":
@@ -77,7 +84,7 @@ def build_model(args):
         tok = load_tokenizer(None)
         print("note: no --ckpt given; using RANDOM weights", file=sys.stderr)
 
-    if args.bits < 16:
+    if args.bits < 16 and not getattr(args, "qckpt", None):
         params = quantize_params(
             params, QuantConfig(bits=args.bits, group_size=args.group_size))
 
@@ -135,6 +142,19 @@ def cmd_serve(args) -> int:
     return serve(args)
 
 
+def cmd_quantize(args) -> int:
+    """Offline packer: HF safetensors -> quantized checkpoint dir
+    (the analogue of the reference's one-shot weights.bin concatenation,
+    tensor_parser.cpp:48-49,118-121 — but packed INT4/INT8 + manifest)."""
+    from qwen_inference_engine_tpu.loader.qcheckpoint import save_quantized
+
+    cfg, params, tok, mesh = build_model(args)
+    save_quantized(args.out, cfg, params)
+    print(f"wrote quantized checkpoint (INT{args.bits}, g={args.group_size}) "
+          f"to {args.out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="qie",
                                      description="TPU-native Qwen inference engine")
@@ -158,6 +178,12 @@ def main(argv=None) -> int:
     s.add_argument("--page-size", type=int, default=16)
     s.add_argument("--num-pages", type=int, default=512)
     s.set_defaults(fn=cmd_serve)
+
+    qz = sub.add_parser("quantize",
+                        help="pack an HF checkpoint into a quantized checkpoint")
+    _add_model_args(qz)
+    qz.add_argument("--out", required=True, help="output checkpoint dir")
+    qz.set_defaults(fn=cmd_quantize)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=lambda a: __import__("bench").main() or 0)
