@@ -234,20 +234,24 @@ def _quant_matmul8(x, q, scales, layer, *, group_size, block_m, block_k,
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool) -> int:
+def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool,
+             gs: int = 0) -> int:
     """Largest 128-multiple divisor of n whose VMEM footprint fits.
 
     Footprint = double-buffered q block + in-kernel i32 unpack temporaries
-    (the dominant term for int4: ~6 bytes/packed value live at once) +
-    f32 accumulator + double-buffered output + scale slab.
+    (for int4: ~6 bytes per packed value of one plane-pair, the loop body's
+    live set) + x parity blocks + f32 accumulator + double-buffered output
+    + scale slab.
     """
     best = 0
+    temp_rows = gs if gs else weight_rows
     for d in range(1, n // 128 + 1):
         bn = 128 * d
         if n % bn:
             continue
         vmem = (weight_rows * bn * 2          # q int8, double-buffered
-                + (weight_rows * bn * 6 if int4 else 0)  # i32 unpack temps
+                + (temp_rows * bn * 6 if int4 else 0)  # i32 unpack temps
+                + (4 * bm * weight_rows * 2 if int4 else 0)  # xe/xo blocks
                 + 16 * bn                     # scale slab (f32, 2-buffered)
                 + bm * bn * 4                 # f32 acc scratch
                 + bm * bn * 2 * 2)            # out bf16, double-buffered
@@ -297,7 +301,10 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
         bn = block_override[-1]
     elif ok:
         if lin.bits == 4:
-            bn = _pick_bn(n, bm, gs, int4=True)
+            ppt0, kt0 = 1, k // (2 * gs)
+            while kt0 > 20 and kt0 % 2 == 0 and ppt0 < 4:
+                ppt0, kt0 = ppt0 * 2, kt0 // 2
+            bn = _pick_bn(n, bm, ppt0 * gs, int4=True, gs=gs)
         else:
             bk = k if lin.scales.shape[-2] == 1 else k // lin.scales.shape[-2]
             bk = min(bk, 2048)
