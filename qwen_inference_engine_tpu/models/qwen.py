@@ -313,7 +313,12 @@ def forward_hidden(
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
-        if use_contig_kernel and uniform_decode:
+        if defer_append:
+            # fresh-token merge: attention reads the OLD cache and folds
+            # this step's K/V in-register, so the append is deferred and
+            # batched across all layers after the scan (kv_append_all).
+            pass
+        elif use_contig_kernel and uniform_decode:
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
             # — the XLA scatter serializes per batch row (~6.8 ms/step at
             # 7B b128).
@@ -354,6 +359,13 @@ def forward_hidden(
                 attn = flash_attention(q, k, v)
             else:
                 attn = gqa_attention(q, k, v, positions)
+        elif defer_append:
+            from qwen_inference_engine_tpu.ops.decode_attention import (
+                decode_attention_contiguous_fresh,
+            )
+
+            attn = decode_attention_contiguous_fresh(
+                q, cache_c["k"], cache_c["v"], k, v, l, positions[:, 0])
         elif use_contig_kernel:
             # flash decode straight off the stacked cache (the layer index
             # rides in scalar prefetch) — slicing the carry materializes a
@@ -405,10 +417,29 @@ def forward_hidden(
         up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
         x = x + apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
                              use_pallas, layer=l)
-        return (x, cache_c, l + 1), None
+        ys = (k, v) if defer_append else None
+        return (x, cache_c, l + 1), ys
 
-    (x, new_cache_arrays, _), _ = jax.lax.scan(
+    # Deferred all-layer append (fresh-token merge in the attention kernel
+    # + one kv_append_all call per step) measured 2.6% SLOWER than the
+    # per-layer tile-RMW at 7B batch 112 — the append cost is strided-DMA
+    # descriptor count, which batching calls does not reduce. Kernels are
+    # kept (tested) for configs where call overhead dominates.
+    defer_append = False and (use_contig_kernel and uniform_decode
+                              and not fresh_prefill
+                              and (cache_arrays.get("k_scale") is None))
+    (x, new_cache_arrays, _), fresh_kv = jax.lax.scan(
         layer_fn, (x, cache_arrays, jnp.int32(0)), scanned)
+    if defer_append and fresh_kv is not None:
+        from qwen_inference_engine_tpu.ops.kv_append import (
+            kv_append_all_uniform,
+        )
+
+        k_ys, v_ys = fresh_kv  # [L, B, 1, Hk, Dh]
+        k_c, v_c = kv_append_all_uniform(
+            new_cache_arrays["k"], new_cache_arrays["v"],
+            k_ys, v_ys, positions[0, 0])
+        new_cache_arrays = dict(new_cache_arrays, k=k_c, v=v_c)
     x = rms_norm(x, params["final_norm"], eps)
 
     if paged:

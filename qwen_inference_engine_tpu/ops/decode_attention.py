@@ -302,3 +302,129 @@ def decode_attention_contiguous_q8(
                                qg, k_cache, v_cache, k_scale, v_scale,
                                scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ----------------------------------------------------------------------
+# Fresh-token merge: attend over the cache's OLD tokens (lengths exclude
+# the current position) and fold the current step's K/V — which are live
+# values in the layer body — into the flash state in-register. Attention
+# then no longer depends on the KV append having happened, so all layers'
+# appends can be deferred and batched into one kernel per step
+# (ops/kv_append.py::kv_append_all_uniform).
+# ----------------------------------------------------------------------
+
+def _merge_fresh(q_ref, kn_ref, vn_ref, h, G8, scale, acc_ref, m_ref, l_ref):
+    # elementwise forms throughout: Mosaic cannot reshape a bf16 vector's
+    # minor dim, and at [G8, 1] x [1, D] sizes the VPU beats the MXU anyway
+    q = q_ref[0, h].astype(jnp.float32)        # [G8, D]
+    kn = kn_ref[0, h].astype(jnp.float32)      # [D]
+    sl = slice(h * G8, (h + 1) * G8)
+    s = jnp.sum(q * kn[None, :], axis=1, keepdims=True) * scale  # [G8, 1]
+    m_prev = m_ref[sl]
+    m_new = jnp.maximum(m_prev, s)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                     # [G8, 1]
+    l_ref[sl] = l_ref[sl] * alpha + p
+    pv = p * vn_ref[0, h].astype(jnp.float32)[None, :]           # [G8, D]
+    acc_ref[sl] = acc_ref[sl] * alpha + pv
+    m_ref[sl] = m_new
+
+
+def _decode_kernel_fresh(lens_ref, layer_ref, q_ref, k_ref, v_ref, kn_ref,
+                         vn_ref, o_ref, acc_ref, m_ref, l_ref, *, block_s,
+                         scale, n_kv):
+    b = pl.program_id(0)
+    sb = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    G8 = q_ref.shape[2]
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    length = lens_ref[b]   # OLD tokens only (current position excluded)
+
+    @pl.when(sb * block_s < length)
+    def _():
+        kpos = sb * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (G8, block_s), dimension=1)
+        valid = kpos < length
+        for h in range(n_kv):
+            q = q_ref[0, h]
+            s = jax.lax.dot_general(
+                q, k_ref[0, 0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, _NEG_INF)
+            _flash_update(s, v_ref[0, 0, h], None, h, G8,
+                          acc_ref, m_ref, l_ref)
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        for h in range(n_kv):
+            _merge_fresh(q_ref, kn_ref, vn_ref, h, G8, scale,
+                         acc_ref, m_ref, l_ref)
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _decode_attention_fresh(lens, layer, q8, k_cache, v_cache, kn, vn, *,
+                            scale):
+    B, Hk, G8, D = q8.shape
+    S = k_cache.shape[3]
+    bs = _pick_block_s(S)
+    in_specs, out_spec = _specs(G8, D, bs, Hk, quant=False)
+    in_specs = in_specs + [
+        pl.BlockSpec((1, Hk, D), lambda b, sb, lens, layer: (b, 0, 0)),
+        pl.BlockSpec((1, Hk, D), lambda b, sb, lens, layer: (b, 0, 0)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, S // bs),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=_scratch(Hk, G8, D),
+    )
+    kernel = functools.partial(_decode_kernel_fresh, block_s=bs, scale=scale,
+                               n_kv=Hk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, G8, D), q8.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hk * G8 * S * D,
+            bytes_accessed=2 * B * Hk * S * D * k_cache.dtype.itemsize,
+            transcendentals=B * Hk * G8 * S,
+        ),
+    )(lens, layer, q8, k_cache, v_cache, kn, vn)
+
+
+def decode_attention_contiguous_fresh(
+    q: jax.Array,          # [B, 1, Hq, D]
+    k_cache: jax.Array,    # [L, B, Hk, S, D] (current token NOT yet written)
+    v_cache: jax.Array,
+    k_new: jax.Array,      # [B, 1, Hk, D] this step's (post-rope) K
+    v_new: jax.Array,
+    layer: jax.Array,
+    old_lengths: jax.Array,  # [B] = current position (valid OLD kv tokens)
+    scale: float | None = None,
+) -> jax.Array:
+    """Flash decode over old cache + in-register fresh-token merge."""
+    B, T, Hq, D = q.shape
+    Hk = k_cache.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    qg, G, G8 = _prep_q(q, Hk)
+    dt = k_cache.dtype
+    kn = k_new.reshape(B, Hk, D).astype(dt)
+    vn = v_new.reshape(B, Hk, D).astype(dt)
+    out = _decode_attention_fresh(old_lengths.astype(jnp.int32),
+                                  jnp.asarray(layer, jnp.int32).reshape(1),
+                                  qg.astype(dt), k_cache, v_cache,
+                                  kn, vn, scale=scale)
+    return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)

@@ -17,6 +17,8 @@ but for the whole batch at once and without leaving the device.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -186,3 +188,104 @@ def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(pos, jnp.asarray(layer, jnp.int32).reshape(1),
       k_cache, v_cache, k_scale, v_scale, kn, vn, ksn, vsn)
+
+
+# ----------------------------------------------------------------------
+# All-layers deferred append: with the fresh-token merge in the attention
+# kernel (ops/decode_attention.py), the per-layer appends no longer gate
+# anything inside the layer scan — the step collects every layer's new
+# K/V (tiny: [L, B, Hk, D]) and this kernel writes all of them in one
+# call, double-buffering the tile bands across layers. Amortizes the
+# per-call fixed cost (28 calls x ~40 us -> one call).
+# ----------------------------------------------------------------------
+
+def _append_all_kernel(pos_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
+                       kc_out, vc_out, ktile, vtile, sem, *, n_layers):
+    del kc_hbm, vc_hbm
+    p = pos_ref[0]
+    t0 = pl.multiple_of((p // 8) * 8, 8)
+
+    def band_in(l, slot):
+        return (
+            pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                  ktile.at[slot], sem.at[2 * slot]),
+            pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                  vtile.at[slot], sem.at[2 * slot + 1]),
+        )
+
+    def band_out(l, slot):
+        return (
+            pltpu.make_async_copy(ktile.at[slot],
+                                  kc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                  sem.at[4 + 2 * slot]),
+            pltpu.make_async_copy(vtile.at[slot],
+                                  vc_out.at[l, :, :, pl.ds(t0, 8), :],
+                                  sem.at[4 + 2 * slot + 1]),
+        )
+
+    row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape[1:], dimension=2)
+    sel = row == (p - t0)
+
+    for c in band_in(0, 0):
+        c.start()
+    for l in range(n_layers):  # static unroll: software-pipelined bands
+        slot = l % 2
+        nxt = (l + 1) % 2
+        if l + 1 < n_layers:
+            if l >= 1:
+                # slot `nxt` last held layer l-1's band: its write-back
+                # must land before the next band is DMA'd into it
+                for c in band_out(l - 1, nxt):
+                    c.wait()
+            for c in band_in(l + 1, nxt):
+                c.start()
+        for c in band_in(l, slot):
+            c.wait()
+        ktile[slot] = jnp.where(sel, kn_ref[l][:, :, None, :], ktile[slot])
+        vtile[slot] = jnp.where(sel, vn_ref[l][:, :, None, :], vtile[slot])
+        for c in band_out(l, slot):
+            c.start()
+    for l in (n_layers - 2, n_layers - 1):
+        if 0 <= l:
+            for c in band_out(l, l % 2):
+                c.wait()
+
+
+@jax.jit
+def kv_append_all_uniform(k_cache, v_cache, k_new, v_new, position):
+    """Write every layer's fresh K/V row ([L, B, Hk, D]) at the SAME
+    ``position`` into the stacked caches [L, B, Hk, S, D], in place."""
+    L, B, Hk, S, D = k_cache.shape
+    kn = k_new.reshape(L, B, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(L, B, Hk, D).astype(v_cache.dtype)
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_cache (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new [L,B,Hk,D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, Hk, 8, D), k_cache.dtype),
+            pltpu.VMEM((2, B, Hk, 8, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    kernel = functools.partial(_append_all_kernel, n_layers=L)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={1: 0, 2: 1},  # caches alias outputs
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pos, k_cache, v_cache, kn, vn)

@@ -209,3 +209,56 @@ def test_kv_append_uniform_q8_matches_scatter():
             kc, vc, ks, vs, knew, vnew, ksn, vsn, jnp.int32(pos), layer)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(gks), np.asarray(ref_ks))
+
+
+def test_fresh_merge_decode_attention_matches_oracle():
+    """Old-cache flash + in-register fresh-token merge == attend over the
+    cache with the token written (the deferred-append decode path)."""
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+    from qwen_inference_engine_tpu.kvcache.cache import contiguous_write_stacked
+
+    L, B, Hk, G, D, S = 2, 3, 2, 7, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(21)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    old_lens = jnp.asarray([0, 100, 255], jnp.int32)  # current positions
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    layer = 1
+
+    with interpret_pallas(da):
+        got = da.decode_attention_contiguous_fresh(
+            q, kc, vc, kn, vn, layer, old_lens)
+
+    # oracle: write the fresh token at position=old_len, attend to len+1
+    kc2 = contiguous_write_stacked(kc, jnp.int32(layer), kn, old_lens[:, None])
+    vc2 = contiguous_write_stacked(vc, jnp.int32(layer), vn, old_lens[:, None])
+    oracle = gqa_attention_kmajor(q, kc2[layer], vc2[layer],
+                                  old_lens[:, None], kv_valid_len=old_lens + 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_kv_append_all_uniform_matches_scatter():
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.kvcache.cache import contiguous_write_stacked
+
+    L, B, Hk, S, D = 3, 2, 2, 64, 128
+    rng = np.random.default_rng(22)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(L, B, 1, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(L, B, 1, Hk, D)).astype(np.float32))
+    pos = 37
+    posv = jnp.full((B, 1), pos, jnp.int32)
+
+    ref_k, ref_v = kc, vc
+    for l in range(L):
+        ref_k = contiguous_write_stacked(ref_k, jnp.int32(l), kn[l], posv)
+        ref_v = contiguous_write_stacked(ref_v, jnp.int32(l), vn[l], posv)
+    with interpret_pallas(ka):
+        gk, gv = ka.kv_append_all_uniform(kc, vc, kn, vn, jnp.int32(pos))
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(ref_v))
