@@ -100,22 +100,25 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
     pack = 2 if bits == 4 else 1
 
     def qlin(kin: int, out: int, bias: bool) -> QuantLinear:
+        gs = group_size
         if bits == 4:
-            # mirror quantize_linear's reduction-axis padding
-            kt = -(-kin // (2 * group_size))
+            # mirror quantize_linear: shrink gs for tiny dims, pad huge ones
+            while gs > 2 and (kin % gs or (kin // gs) % 2):
+                gs //= 2
+            kt = -(-kin // (2 * gs))
             if kt > 20 and kt % 2 == 1:
                 kt += 1
-            kin = kt * 2 * group_size
+            kin = kt * 2 * gs
             # random packed bytes: full int8 range decodes to full nibble range
             q = jax.random.randint(next(ks), (L, kin // pack, out), -128, 128,
                                    dtype=jnp.int8)
         else:
             q = jax.random.randint(next(ks), (L, kin // pack, out), -qmax,
                                    qmax + 1, dtype=jnp.int8)
-        scales = jnp.full((L, kin // group_size, out), (kin ** -0.5) / qmax,
+        scales = jnp.full((L, kin // gs, out), (kin ** -0.5) / qmax,
                           jnp.float32)
         b = jnp.zeros((L, out), dtype) if bias else None
-        return QuantLinear(q=q, scales=scales, b=b, bits=bits, group_size=group_size)
+        return QuantLinear(q=q, scales=scales, b=b, bits=bits, group_size=gs)
 
     bias = cfg.attention_bias
     layers = {
@@ -142,12 +145,15 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
     }
     if not cfg.tie_word_embeddings:
         if quantize_lm_head:
+            gs = group_size
+            while gs > 2 and (D % gs or (D // gs) % 2):
+                gs //= 2
             lohi = (-128, 128) if bits == 4 else (-qmax, qmax + 1)
             q = jax.random.randint(next(ks), (D // pack, V), *lohi,
                                    dtype=jnp.int8)
-            scales = jnp.full((D // group_size, V), (D ** -0.5) / qmax, jnp.float32)
+            scales = jnp.full((D // gs, V), (D ** -0.5) / qmax, jnp.float32)
             params["lm_head"] = QuantLinear(q=q, scales=scales, b=None,
-                                            bits=bits, group_size=group_size)
+                                            bits=bits, group_size=gs)
         else:
             params["lm_head"] = Linear(
                 (jax.random.normal(next(ks), (D, V), jnp.float32) * D ** -0.5).astype(dtype)
