@@ -63,8 +63,8 @@ def _flash_update(s, v, vs, h, G8, acc_ref, m_ref, l_ref):
 
 
 def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
-                   acc_ref, m_ref, l_ref, *, block_s, scale, n_kv):
-    b = pl.program_id(0)
+                   acc_ref, m_ref, l_ref, *, block_s, scale, n_kv, rpc):
+    bb = pl.program_id(0)      # batch-row block (rpc rows per cell)
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
     G8 = q_ref.shape[2]
@@ -75,26 +75,28 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    length = lens_ref[b]
+    for r in range(rpc):       # static: rpc batch rows share the cell
+        length = lens_ref[bb * rpc + r]
 
-    @pl.when(sb * block_s < length)
-    def _():
-        kpos = sb * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (G8, block_s), dimension=1)
-        valid = kpos < length
-        for h in range(n_kv):  # static loop: all KV heads in one grid cell
-            q = q_ref[0, h]                    # [G8, D] bf16
-            k = k_ref[0, 0, h]                 # [BS, D]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = jnp.where(valid, s, _NEG_INF)
-            _flash_update(s, v_ref[0, 0, h], None, h, G8, acc_ref, m_ref, l_ref)
+        @pl.when(sb * block_s < length)
+        def _(r=r, length=length):
+            kpos = sb * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (G8, block_s), dimension=1)
+            valid = kpos < length
+            for h in range(n_kv):  # all KV heads of the row in one cell
+                q = q_ref[r, h]                # [G8, D] bf16
+                k = k_ref[0, r, h]             # [BS, D]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(valid, s, _NEG_INF)
+                _flash_update(s, v_ref[0, r, h], None, r * n_kv + h, G8,
+                              acc_ref, m_ref, l_ref)
 
     @pl.when(sb == n_sb - 1)
     def _():
         denom = jnp.maximum(l_ref[:], 1e-30)
-        o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def _decode_kernel_q8(lens_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref,
@@ -154,30 +156,34 @@ def _pick_block_s(s: int) -> int:
     return best
 
 
-def _specs(G8, D, bs, n_kv, quant):
-    def kv_index(b, sb, lens_ref, layer_ref):
-        # clamp to the last block this row actually needs: Mosaic skips the
+def _specs(G8, D, bs, n_kv, quant, rpc=1):
+    def kv_index(bb, sb, lens_ref, layer_ref):
+        # clamp to the last block this row-block needs: Mosaic skips the
         # DMA when the block index repeats, so blocks past the valid length
         # are fetched zero times (their compute is skipped via pl.when).
-        last = jnp.maximum(lens_ref[b] - 1, 0) // bs
-        return (layer_ref[0], b, 0, jnp.minimum(sb, last), 0)
+        last = jnp.int32(0)
+        for r in range(rpc):
+            last = jnp.maximum(last, lens_ref[bb * rpc + r] - 1)
+        return (layer_ref[0], bb, 0, jnp.minimum(sb, jnp.maximum(last, 0) // bs), 0)
 
-    def s_index(b, sb, lens_ref, layer_ref):
-        last = jnp.maximum(lens_ref[b] - 1, 0) // bs
-        return (layer_ref[0], b, 0, jnp.minimum(sb, last))
+    def s_index(bb, sb, lens_ref, layer_ref):
+        last = jnp.int32(0)
+        for r in range(rpc):
+            last = jnp.maximum(last, lens_ref[bb * rpc + r] - 1)
+        return (layer_ref[0], bb, 0, jnp.minimum(sb, jnp.maximum(last, 0) // bs))
 
     in_specs = [
-        pl.BlockSpec((1, n_kv, G8, D), lambda b, sb, lens, layer: (b, 0, 0, 0)),
-        pl.BlockSpec((1, 1, n_kv, bs, D), kv_index),
-        pl.BlockSpec((1, 1, n_kv, bs, D), kv_index),
+        pl.BlockSpec((rpc, n_kv, G8, D), lambda bb, sb, lens, layer: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, rpc, n_kv, bs, D), kv_index),
+        pl.BlockSpec((1, rpc, n_kv, bs, D), kv_index),
     ]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, n_kv, bs), s_index),
-            pl.BlockSpec((1, 1, n_kv, bs), s_index),
+            pl.BlockSpec((1, rpc, n_kv, bs), s_index),
+            pl.BlockSpec((1, rpc, n_kv, bs), s_index),
         ]
-    out_spec = pl.BlockSpec((1, n_kv, G8, D),
-                            lambda b, sb, lens, layer: (b, 0, 0, 0))
+    out_spec = pl.BlockSpec((rpc, n_kv, G8, D),
+                            lambda bb, sb, lens, layer: (bb, 0, 0, 0))
     return in_specs, out_spec
 
 
@@ -194,15 +200,19 @@ def _decode_attention(lens, layer, q8, k_cache, v_cache, *, scale):
     B, Hk, G8, D = q8.shape
     S = k_cache.shape[3]
     bs = _pick_block_s(S)
-    in_specs, out_spec = _specs(G8, D, bs, Hk, quant=False)
+    # rows per cell: halves the per-grid-cell fixed cost; VMEM-capped
+    rpc = 2 if (B % 2 == 0 and 2 * 2 * Hk * bs * D * k_cache.dtype.itemsize
+                * 2 <= 10 * 1024 * 1024) else 1
+    in_specs, out_spec = _specs(G8, D, bs, Hk, quant=False, rpc=rpc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, S // bs),
+        grid=(B // rpc, S // bs),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=_scratch(Hk, G8, D),
+        scratch_shapes=_scratch(rpc * Hk, G8, D),
     )
-    kernel = functools.partial(_decode_kernel, block_s=bs, scale=scale, n_kv=Hk)
+    kernel = functools.partial(_decode_kernel, block_s=bs, scale=scale,
+                               n_kv=Hk, rpc=rpc)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
