@@ -116,3 +116,54 @@ def test_continuous_batching_rejects_oversized():
     cb.submit(Request(request_id=0, prompt=[1, 2, 3], max_new_tokens=100))
     finished = cb.run_to_completion()
     assert finished[0].finish_reason == "rejected"
+
+
+def test_uniform_and_ragged_decode_paths_agree():
+    """decode_step(uniform_decode=True) == default path for aligned rows."""
+    import numpy as np
+
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        decode_step,
+        init_params,
+        prefill,
+    )
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, P = 2, 5
+    rng = np.random.default_rng(6)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, P)).astype(np.int32))
+    lens = jnp.full((B,), P, jnp.int32)
+    c1 = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads, cfg.head_dim,
+                        dtype=jnp.float32)
+    c2 = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads, cfg.head_dim,
+                        dtype=jnp.float32)
+    _, c1 = prefill(params, cfg, toks, lens, c1)
+    _, c2 = prefill(params, cfg, toks, lens, c2)
+    nxt = jnp.asarray([3, 7], jnp.int32)
+    for step in range(3):
+        pos = lens + step
+        l1, c1 = decode_step(params, cfg, nxt, pos, c1, uniform_decode=True)
+        l2, c2 = decode_step(params, cfg, nxt, pos, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"step {step}")
+        nxt = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
+def test_debug_dump_hooks_are_noops_and_printable(capsys):
+    from qwen_inference_engine_tpu.utils import debug
+
+    x = jnp.ones((2, 4), jnp.float32)
+    assert debug.dump_activation("t", x) is x   # disabled: identity
+    debug.enable(True)
+    try:
+        y = jax.jit(lambda a: debug.dump_activation("act", a) * 2)(x)
+        jax.effects_barrier()
+        assert float(y[0, 0]) == 2.0
+        logits = jnp.arange(12.0).reshape(2, 6)
+        debug.dump_top_logits("logits", logits, k=3)
+        jax.effects_barrier()
+    finally:
+        debug.enable(False)
