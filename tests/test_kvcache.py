@@ -123,3 +123,36 @@ def test_int8_kv_cache_end_to_end():
     diff = np.abs(np.asarray(dq) - ref).max()
     scale = np.abs(ref).max()
     assert diff / scale < 0.05, (diff, scale)
+
+
+def test_chunked_prefill_paged_matches_monolithic():
+    """prefill_chunked over the paged cache == monolithic paged prefill."""
+    from qwen_inference_engine_tpu.models.qwen import (
+        init_params,
+        prefill,
+        prefill_chunked,
+    )
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    B, T, page_size, max_pages = 2, 24, 8, 5
+    rng = np.random.default_rng(13)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)).astype(np.int32))
+    lens = jnp.asarray([T, T - 3], jnp.int32)
+    tables = jnp.asarray([[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]], jnp.int32)
+
+    p1 = PagedKVCache.create(cfg.num_layers, max_pages * B + 1, page_size,
+                             cfg.num_kv_heads, cfg.head_dim, dtype=jnp.float32)
+    p2 = PagedKVCache.create(cfg.num_layers, max_pages * B + 1, page_size,
+                             cfg.num_kv_heads, cfg.head_dim, dtype=jnp.float32)
+    l1, p1 = prefill(params, cfg, toks, lens, p1, block_tables=tables)
+    l2, p2 = prefill_chunked(params, cfg, toks, lens, p2, block_tables=tables,
+                             chunk=8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4)
+
+    from qwen_inference_engine_tpu.models.qwen import decode_step
+
+    nxt = jnp.asarray([4, 6], jnp.int32)
+    d1, _ = decode_step(params, cfg, nxt, lens, p1, block_tables=tables)
+    d2, _ = decode_step(params, cfg, nxt, lens, p2, block_tables=tables)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=2e-4)
