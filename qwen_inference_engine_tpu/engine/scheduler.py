@@ -13,8 +13,11 @@ module supplies the real mechanics, TPU-style:
   request is admitted only if its worst-case pages (prompt + max_new) are
   free, generalizing the reference's up-front VRAM probe
   (iengine.cu:239-291) into per-request admission;
-* per-request prefill (bucketed lengths) into the admitted slot's pages,
-  then one fused decode step across all active slots per tick — mixed
+* per-request **chunked** prefill (bucketed lengths, at most one
+  ``prefill_chunk``-token piece per tick once decodes are active — a long
+  prompt never stalls running decodes for more than one chunk's forward:
+  no head-of-line blocking, and activation memory stays bounded), then one
+  fused decode step across all active slots per tick — mixed
   prefill+decode continuous batching;
 * EOS / max-token completion frees pages + slot immediately, and the next
   pending request is admitted on the same tick.
@@ -33,7 +36,11 @@ import numpy as np
 
 from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.kvcache.cache import PagedKVCache, pages_required
-from qwen_inference_engine_tpu.models.qwen import decode_step, prefill
+from qwen_inference_engine_tpu.models.qwen import (
+    compute_logits,
+    decode_step,
+    forward_hidden,
+)
 from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 from qwen_inference_engine_tpu.parallel.sharding import make_sharded_cache
 from qwen_inference_engine_tpu.utils.metrics import Metrics
@@ -52,10 +59,15 @@ class _Running:
     request: Request
     slot: int
     pages: List[int]
-    seq_len: int                      # tokens currently in cache
+    seq_len: int                      # final length once prefilled
     generated: List[int] = dataclasses.field(default_factory=list)
     last_token: int = 0
     t_submit: float = 0.0
+    prefilled: int = 0                # prompt tokens already in cache
+
+    @property
+    def prefill_done(self) -> bool:
+        return self.prefilled >= len(self.request.prompt)
 
 
 @dataclasses.dataclass
@@ -87,6 +99,7 @@ class ContinuousBatchingEngine:
         sampling: Optional[SamplingParams] = None,
         seed: int = 1234,
         use_pallas: bool = True,
+        prefill_chunk: int = 256,
     ):
         self.cfg = cfg
         self.params = params
@@ -97,12 +110,23 @@ class ContinuousBatchingEngine:
         self.max_pages_per_seq = max_pages_per_seq
         self.sampling = sampling or SamplingParams()
         self.seed = seed
+        self.prefill_chunk = prefill_chunk
         # Pallas custom calls are not GSPMD-partitionable: under a
-        # multi-device mesh the sharded XLA paths (einsum attention, fused
-        # dequant einsum) are used instead; wrapping the kernels in
-        # shard_map is future work.
+        # multi-device mesh the step runs through shard_map
+        # (parallel/tp_step.py) so the kernels stay on their per-shard fast
+        # path; shapes that can't split fall back to the XLA paths.
+        # The page pool is a shared resource, so the paged TP path needs a
+        # pure-TP mesh (data axis 1).
+        self._tp_step = False
         if mesh is not None and getattr(mesh, "size", 1) > 1:
-            use_pallas = False
+            from qwen_inference_engine_tpu.parallel.tp_step import supports_tp
+
+            tp = dict(mesh.shape).get("model", 1)
+            if (tp > 1 and dict(mesh.shape).get("data", 1) == 1
+                    and supports_tp(cfg, params, tp)):
+                self._tp_step = True
+            else:
+                use_pallas = False
         self.use_pallas = use_pallas
         self.metrics = Metrics()
 
@@ -138,32 +162,88 @@ class ContinuousBatchingEngine:
         self._pending.append(request)
 
     # ------------------------------------------------------------------
-    def _jit_prefill(self, T: int, sp: SamplingParams):
-        key = ("prefill", T, sp.top_k, sp.greedy)
+    def _jit_prefill_piece(self, T: int, first: bool, last: bool,
+                           sp: SamplingParams):
+        """One chunk of a (possibly multi-tick) prefill for a single slot.
+
+        ``first``: the chunk starts at position 0 (fresh-prefill fast path);
+        ``last``: the prompt ends inside this chunk — compute last-valid
+        logits and sample the first generated token.
+        """
+        key = ("piece", T, first, last, sp.top_k, sp.greedy)
         if key not in self._jit_cache:
             cfg, use_pallas = self.cfg, self.use_pallas
+            tp_piece = None
+            if self._tp_step:
+                from qwen_inference_engine_tpu.parallel.tp_step import (
+                    make_tp_prefill_piece_fn,
+                )
 
-            def fn(params, tokens, lens, cache, tables, rkey, sp_dyn):
-                logits, cache = prefill(params, cfg, tokens, lens, cache,
-                                        block_tables=tables, use_pallas=use_pallas)
+                tp_piece = make_tp_prefill_piece_fn(
+                    cfg, self.mesh, self.params, self._cache_template(),
+                    T=T, first=first, last=last)
+
+            def fn(params, tokens, start, nvalid, cache, tables, rkey, sp_dyn):
+                if tp_piece is not None:
+                    out = tp_piece(params, tokens, start, nvalid, cache, tables)
+                    if not last:
+                        return None, out
+                    logits, cache = out
+                else:
+                    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+                    hidden, cache = forward_hidden(
+                        params, cfg, tokens, positions, cache,
+                        block_tables=tables, fresh_prefill=first,
+                        use_pallas=use_pallas)
+                    if not last:
+                        return None, cache
+                    idx = jnp.clip(nvalid - 1, 0, T - 1)
+                    h = jnp.take_along_axis(hidden, idx[:, None, None],
+                                            axis=1)[:, 0]
+                    logits = compute_logits(params, h, use_pallas)
                 sp_full = dataclasses.replace(
                     sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
                     repetition_penalty=sp_dyn["repetition_penalty"])
                 tok = sample(logits, rkey, sp_full)
                 return tok, cache
 
-            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3,))
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(4,))
         return self._jit_cache[key]
+
+    def _cache_template(self) -> PagedKVCache:
+        """Shape/dtype skeleton of the paged pool (no allocation)."""
+        c = self.cache
+        sds = jax.ShapeDtypeStruct
+        return PagedKVCache(
+            k_pages=sds(c.k_pages.shape, c.k_pages.dtype),
+            v_pages=sds(c.v_pages.shape, c.v_pages.dtype),
+            k_scale=None if c.k_scale is None else
+                sds(c.k_scale.shape, c.k_scale.dtype),
+            v_scale=None if c.v_scale is None else
+                sds(c.v_scale.shape, c.v_scale.dtype),
+            page_size=c.page_size,
+        )
 
     def _jit_decode(self, sp: SamplingParams):
         key = ("decode", sp.top_k, sp.greedy)
         if key not in self._jit_cache:
             cfg, use_pallas = self.cfg, self.use_pallas
+            tp_dec = None
+            if self._tp_step:
+                from qwen_inference_engine_tpu.parallel.tp_step import (
+                    make_tp_decode_fn,
+                )
+
+                tp_dec = make_tp_decode_fn(cfg, self.mesh, self.params,
+                                           self._cache_template(), paged=True)
 
             def fn(params, tok, pos, cache, tables, rkey, sp_dyn):
-                logits, cache = decode_step(params, cfg, tok, pos, cache,
-                                            block_tables=tables,
-                                            use_pallas=use_pallas)
+                if tp_dec is not None:
+                    logits, cache = tp_dec(params, tok, pos, cache, tables)
+                else:
+                    logits, cache = decode_step(params, cfg, tok, pos, cache,
+                                                block_tables=tables,
+                                                use_pallas=use_pallas)
                 sp_full = dataclasses.replace(
                     sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
                     repetition_penalty=sp_dyn["repetition_penalty"])
@@ -190,6 +270,10 @@ class ContinuousBatchingEngine:
         if free_slot is None:
             return False
         total_tokens = len(req.prompt) + req.max_new_tokens
+        # pad writes past the prompt extend to the chunk/bucket boundary;
+        # they land on the scratch page (zeroed block-table entries past the
+        # allocated pages) or on masked future positions, so admission only
+        # budgets real tokens
         need = pages_required(total_tokens, self.page_size)
         if need > self.max_pages_per_seq:
             self._pending.popleft()
@@ -206,30 +290,43 @@ class ContinuousBatchingEngine:
         row[: len(pages)] = pages
         self._block_tables[free_slot] = row
         self._seq_lens[free_slot] = len(req.prompt)
-        self._prefill_slot(run)
         return True
 
-    def _prefill_slot(self, run: _Running) -> None:
+    def _prefill_tick(self, run: _Running) -> None:
+        """Advance ``run``'s prefill by one chunk (bounded work per tick —
+        a long prompt cannot stall active decodes for more than one chunk's
+        forward: the fix for synchronous-monolithic-prefill head-of-line
+        blocking)."""
         sp = run.request.sampling or self.sampling
         prompt = run.request.prompt
-        T = _bucket(len(prompt))
+        start = run.prefilled
+        remaining = len(prompt) - start
+        # single-piece prompts use a power-of-two bucket; pieces of longer
+        # prompts are exactly prefill_chunk wide (one extra compile shape)
+        T = (min(_bucket(remaining), self.prefill_chunk)
+             if remaining <= self.prefill_chunk else self.prefill_chunk)
+        piece = prompt[start : start + T]
+        last = start + T >= len(prompt)
         tokens = np.zeros((1, T), np.int32)
-        tokens[0, : len(prompt)] = prompt
-        fn = self._jit_prefill(T, sp)
+        tokens[0, : len(piece)] = piece
+        fn = self._jit_prefill_piece(T, first=(start == 0), last=last, sp=sp)
         rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                   run.request.request_id)
         tok, self.cache = fn(
-            self.params, jnp.asarray(tokens),
-            jnp.asarray([len(prompt)], np.int32), self.cache,
+            self.params, jnp.asarray(tokens), jnp.int32(start),
+            jnp.asarray([len(piece)], np.int32), self.cache,
             jnp.asarray(self._block_tables[run.slot : run.slot + 1]),
             rkey, self._sp_dyn(sp),
         )
+        run.prefilled = start + len(piece)
+        self.metrics.observe_prefill(len(piece))
+        self._step_count += 1
+        if not last:
+            return
         first = int(tok[0])
         self.metrics.observe_ttft(time.perf_counter() - run.t_submit)
-        self.metrics.observe_prefill(len(prompt))
         run.generated.append(first)
         run.last_token = first
-        self._step_count += 1
         if first in self._eos or len(run.generated) >= run.request.max_new_tokens:
             self._finish(run, "eos" if first in self._eos else "length")
 
@@ -244,31 +341,56 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------------
     def step(self) -> List[FinishedRequest]:
-        """One scheduler tick: admit what fits, then one decode step for all
-        active slots. Returns requests that finished this tick."""
+        """One scheduler tick: admit what fits, advance at most one prefill
+        chunk (all chunks if nothing is decoding), then one decode step for
+        all active slots. Returns requests that finished this tick."""
         before = len(self._finished)
         while self._try_admit():
             pass
-        active = [s for s in self._slots if s is not None]
-        if active:
+
+        # --- prefill work (bounded per tick once decodes are active) ---
+        prefilling = [s for s in self._slots
+                      if s is not None and not s.prefill_done]
+        decoding = [s for s in self._slots if s is not None and s.prefill_done]
+        if prefilling:
+            target = prefilling[0]  # oldest admitted first
+            if decoding:
+                self._prefill_tick(target)          # one chunk only
+            else:
+                while not target.prefill_done:      # nothing to starve
+                    self._prefill_tick(target)
+                    if self._slots[target.slot] is not target:
+                        break                       # finished at first token
+            decoding = [s for s in self._slots
+                        if s is not None and s.prefill_done]
+
+        # --- one fused decode step across all decoding slots ---
+        if decoding:
+            t0 = time.perf_counter()
             toks = np.zeros((self.max_slots,), np.int32)
             pos = np.zeros((self.max_slots,), np.int32)
-            for s in active:
+            # slots mid-prefill keep a zeroed (scratch-page) table row for
+            # the decode step so the masked lane cannot touch their pages
+            tables = np.zeros_like(self._block_tables)
+            for s in decoding:
                 toks[s.slot] = s.last_token
                 pos[s.slot] = s.seq_len  # next write position
+                tables[s.slot] = self._block_tables[s.slot]
             sp = self.sampling
             fn = self._jit_decode(sp)
             rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       100_000 + self._step_count)
             nxt, self.cache = fn(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-                jnp.asarray(self._block_tables), rkey, self._sp_dyn(sp),
+                jnp.asarray(tables), rkey, self._sp_dyn(sp),
             )
             self._step_count += 1
-            nxt_np = np.asarray(nxt)
-            t_now = time.perf_counter()
-            self.metrics.observe_decode(len(active), 0.0)
-            for s in active:
+            nxt_np = np.asarray(nxt)  # value fetch = true sync
+            # real elapsed time → /stats decode_tokens_per_s is truthful in
+            # serving mode (run_to_completion no longer records separately)
+            self.metrics.observe_decode(len(decoding),
+                                        time.perf_counter() - t0)
+            for s in decoding:
                 tok = int(nxt_np[s.slot])
                 s.seq_len += 1
                 self._seq_lens[s.slot] = s.seq_len
@@ -278,19 +400,11 @@ class ContinuousBatchingEngine:
                     self._finish(s, "eos")
                 elif len(s.generated) >= s.request.max_new_tokens:
                     self._finish(s, "length")
-            del t_now
         return self._finished[before:]
 
     def run_to_completion(self) -> List[FinishedRequest]:
         """Drain all pending + active requests; returns everything finished."""
-        t0 = time.perf_counter()
-        n0 = self._decoded_tokens_total()
         while self.has_work():
             self.step()
-        self.metrics.observe_decode(0, time.perf_counter() - t0)
-        del n0
         out, self._finished = self._finished, []
         return out
-
-    def _decoded_tokens_total(self) -> int:
-        return sum(len(f.token_ids) for f in self._finished)

@@ -227,6 +227,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def _embed_lookup_sharded(embed_local: jax.Array, tokens: jax.Array,
+                          axis: str) -> jax.Array:
+    """Vocab-sharded embedding lookup inside shard_map: each shard holds
+    rows [idx*Vl, (idx+1)*Vl); out-of-range ids contribute zero and the
+    psum assembles the full rows (Megatron parallel embedding)."""
+    vl = embed_local.shape[0]
+    lo = jax.lax.axis_index(axis) * vl
+    local = tokens - lo
+    ok = (local >= 0) & (local < vl)
+    x = jnp.take(embed_local, jnp.clip(local, 0, vl - 1), axis=0)
+    return jax.lax.psum(jnp.where(ok[..., None], x, 0), axis)
+
+
 def forward_hidden(
     params: dict,
     cfg: ModelConfig,
@@ -240,6 +253,7 @@ def forward_hidden(
     attn_impl: str = "auto",
     uniform_decode: bool = False,
     kv_window: Optional[int] = None,
+    reduce_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, object]:
     """Run the transformer stack; returns (hidden [B,T,D], updated cache).
 
@@ -251,11 +265,23 @@ def forward_hidden(
     (force kernels — used by interpreter-mode tests).
     uniform_decode: caller promises all rows decode at the SAME position
     (aligned batch) — enables the single-tile in-place KV append kernel.
+    reduce_axis: set when running INSIDE jax.shard_map over a tensor-model
+    mesh axis (parallel/tp_step.py): params/cache are per-shard local
+    arrays (cfg is the LOCAL config: heads divided by tp) and the Megatron
+    all-reduces (after o-proj and down-proj, plus the vocab-sharded
+    embedding gather) are issued explicitly as ``psum`` over this axis.
+    The Pallas kernels then run per shard at full speed — the reason this
+    exists: Pallas custom calls are not GSPMD-partitionable, so the
+    non-shard_map multi-device path must fall back to XLA ops.
     """
     B, T = tokens.shape
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
-    x = jnp.take(params["embed"], tokens, axis=0)
+    if reduce_axis is not None and params["embed"].shape[0] < cfg.vocab_size:
+        # vocab-sharded local embedding: masked lookup + psum (Megatron)
+        x = _embed_lookup_sharded(params["embed"], tokens, reduce_axis)
+    else:
+        x = jnp.take(params["embed"], tokens, axis=0)
     dtype = x.dtype
     cos, sin = params["rope_cos"], params["rope_sin"]
 
@@ -319,12 +345,7 @@ def forward_hidden(
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
-        if defer_append:
-            # fresh-token merge: attention reads the OLD cache and folds
-            # this step's K/V in-register, so the append is deferred and
-            # batched across all layers after the scan (kv_append_all).
-            pass
-        elif use_contig_kernel and uniform_decode:
+        if use_contig_kernel and uniform_decode:
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
             # — the XLA scatter serializes per batch row (~6.8 ms/step at
             # 7B b128).
@@ -365,13 +386,6 @@ def forward_hidden(
                 attn = flash_attention(q, k, v)
             else:
                 attn = gqa_attention(q, k, v, positions)
-        elif defer_append:
-            from qwen_inference_engine_tpu.ops.decode_attention import (
-                decode_attention_contiguous_fresh,
-            )
-
-            attn = decode_attention_contiguous_fresh(
-                q, cache_c["k"], cache_c["v"], k, v, l, positions[:, 0])
         elif use_contig_kernel:
             # flash decode straight off the stacked cache (the layer index
             # rides in scalar prefetch) — slicing the carry materializes a
@@ -416,36 +430,31 @@ def forward_hidden(
                                              page_size, dtype)
             attn = gqa_attention_kmajor(q, k_all, v_all, positions)
 
-        x = x + apply_linear(attn.reshape(B, T, Hq * Dh), layers_all["o"],
-                             use_pallas, layer=l)
+        o = apply_linear(attn.reshape(B, T, Hq * Dh), layers_all["o"],
+                         use_pallas, layer=l)
+        if reduce_axis is not None:
+            # row-parallel o-proj: partial sums over the sharded head dim
+            o = jax.lax.psum(o, reduce_axis)
+        x = x + o
         h = rms_norm(x, lp["post_norm"], eps)
         gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
         up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
-        x = x + apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
-                             use_pallas, layer=l)
-        ys = (k, v) if defer_append else None
-        return (x, cache_c, l + 1), ys
+        d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
+                         use_pallas, layer=l)
+        if reduce_axis is not None:
+            # row-parallel down-proj: partials over the sharded FFN dim
+            d = jax.lax.psum(d, reduce_axis)
+        x = x + d
+        return (x, cache_c, l + 1), None
 
-    # Deferred all-layer append (fresh-token merge in the attention kernel
-    # + one kv_append_all call per step) measured 2.6% SLOWER than the
-    # per-layer tile-RMW at 7B batch 112 — the append cost is strided-DMA
-    # descriptor count, which batching calls does not reduce. Kernels are
-    # kept (tested) for configs where call overhead dominates.
-    defer_append = False and (use_contig_kernel and uniform_decode
-                              and not fresh_prefill
-                              and (cache_arrays.get("k_scale") is None))
-    (x, new_cache_arrays, _), fresh_kv = jax.lax.scan(
+    # NOTE: a deferred all-layer append (fresh-token merge in the attention
+    # kernel + one kv_append_all call per step) measured 2.6% SLOWER than
+    # the per-layer tile-RMW at 7B batch 112 — the append cost is
+    # strided-DMA descriptor count, which batching calls does not reduce.
+    # Kernels are kept (ops/kv_append.py, ops/decode_attention.py) with
+    # tests as an ablation; the forward has no disabled branches.
+    (x, new_cache_arrays, _), _ = jax.lax.scan(
         layer_fn, (x, cache_arrays, jnp.int32(0)), scanned)
-    if defer_append and fresh_kv is not None:
-        from qwen_inference_engine_tpu.ops.kv_append import (
-            kv_append_all_uniform,
-        )
-
-        k_ys, v_ys = fresh_kv  # [L, B, 1, Hk, Dh]
-        k_c, v_c = kv_append_all_uniform(
-            new_cache_arrays["k"], new_cache_arrays["v"],
-            k_ys, v_ys, positions[0, 0])
-        new_cache_arrays = dict(new_cache_arrays, k=k_c, v=v_c)
     x = rms_norm(x, params["final_norm"], eps)
 
     if paged:
@@ -484,6 +493,7 @@ def prefill(
     *,
     use_pallas: bool = True,
     attn_impl: str = "auto",
+    reduce_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, object]:
     """Fresh prefill from position 0. Returns (last-token logits [B,V], cache).
 
@@ -496,6 +506,7 @@ def prefill(
     hidden, cache = forward_hidden(
         params, cfg, tokens, positions, cache, block_tables,
         fresh_prefill=True, use_pallas=use_pallas, attn_impl=attn_impl,
+        reduce_axis=reduce_axis,
     )
     last_idx = (lengths - 1).astype(jnp.int32)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
@@ -513,6 +524,7 @@ def prefill_chunked(
     chunk: int = 512,
     use_pallas: bool = True,
     attn_impl: str = "auto",
+    reduce_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, object]:
     """Prefill in ``chunk``-token pieces to bound activation memory.
 
@@ -528,9 +540,25 @@ def prefill_chunked(
     B, T = tokens.shape
     if T <= chunk:
         return prefill(params, cfg, tokens, lengths, cache, block_tables,
-                       use_pallas=use_pallas, attn_impl=attn_impl)
+                       use_pallas=use_pallas, attn_impl=attn_impl,
+                       reduce_axis=reduce_axis)
     n_chunks = -(-T // chunk)
     pad = n_chunks * chunk - T
+    # the padded tail is written into the cache (uniform window writes);
+    # if it exceeded capacity, dynamic_update_slice / block-table clamping
+    # would silently overwrite the LAST real chunk with pad-token KV
+    if isinstance(cache, PagedKVCache):
+        capacity = cache.k_pages.shape[1] * cache.page_size
+        if block_tables is not None:
+            capacity = min(capacity, block_tables.shape[1] * cache.page_size)
+    else:
+        capacity = cache.k.shape[3]
+    if n_chunks * chunk > capacity:
+        raise ValueError(
+            f"chunked prefill would write {n_chunks * chunk} positions "
+            f"(T={T} padded to a multiple of chunk={chunk}) but the cache "
+            f"holds only {capacity}; grow the cache/block tables or lower "
+            f"the chunk size")
     if pad:
         tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
     hidden_last = None
@@ -542,7 +570,7 @@ def prefill_chunked(
             params, cfg, tc, positions, cache, block_tables,
             fresh_prefill=(i == 0), use_pallas=use_pallas,
             attn_impl=attn_impl, uniform_decode=(block_tables is None),
-            kv_window=(i + 1) * chunk,
+            kv_window=(i + 1) * chunk, reduce_axis=reduce_axis,
         )
         if hidden_last is None:
             hidden_last = jnp.zeros((B, cfg.hidden_size), hidden.dtype)
@@ -566,12 +594,13 @@ def decode_step(
     use_pallas: bool = True,
     attn_impl: str = "auto",
     uniform_decode: bool = False,
+    reduce_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, object]:
     """One decode step for every sequence. Returns (logits [B,V], cache)."""
     hidden, cache = forward_hidden(
         params, cfg, tokens[:, None], positions[:, None], cache, block_tables,
         fresh_prefill=False, use_pallas=use_pallas, attn_impl=attn_impl,
-        uniform_decode=uniform_decode,
+        uniform_decode=uniform_decode, reduce_axis=reduce_axis,
     )
     return compute_logits(params, hidden[:, 0], use_pallas), cache
 

@@ -106,17 +106,19 @@ def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer):
 def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
                               vs_hbm, kn_ref, vn_ref, ksn_ref, vsn_ref,
                               kc_out, vc_out, ks_out, vs_out,
-                              ktile, vtile, kstile, vstile, sem):
+                              ktile, vtile, kstile, vstile, sem, *, band):
     del kc_hbm, vc_hbm, ks_hbm, vs_hbm
     l = layer_ref[0]
     p = pos_ref[0]
-    t0 = pl.multiple_of((p // 8) * 8, 8)
+    # int8 HBM arrays tile (32, 128) along (S, D) — the RMW band must cover
+    # a full sublane tile of the cache dtype, not the bf16 8-row band
+    t0 = pl.multiple_of((p // band) * band, band)
     s0 = pl.multiple_of((p // 128) * 128, 128)
 
     cps = [
-        pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, 8), :], ktile,
+        pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, band), :], ktile,
                               sem.at[0]),
-        pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, 8), :], vtile,
+        pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, band), :], vtile,
                               sem.at[1]),
         pltpu.make_async_copy(ks_out.at[l, :, :, pl.ds(s0, 128)], kstile,
                               sem.at[2]),
@@ -138,9 +140,9 @@ def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
     vstile[:] = jnp.where(lsel, vsn_ref[:][:, :, None], vstile[:])
 
     cps = [
-        pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, 8), :],
+        pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, band), :],
                               sem.at[0]),
-        pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, 8), :],
+        pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, band), :],
                               sem.at[1]),
         pltpu.make_async_copy(kstile, ks_out.at[l, :, :, pl.ds(s0, 128)],
                               sem.at[2]),
@@ -164,6 +166,7 @@ def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
     ksn = ks_new.reshape(B, Hk).astype(jnp.float32)
     vsn = vs_new.reshape(B, Hk).astype(jnp.float32)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
+    band = 32 if k_cache.dtype.itemsize == 1 else 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -171,15 +174,15 @@ def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         scratch_shapes=[
-            pltpu.VMEM((B, Hk, 8, D), k_cache.dtype),
-            pltpu.VMEM((B, Hk, 8, D), v_cache.dtype),
+            pltpu.VMEM((B, Hk, band, D), k_cache.dtype),
+            pltpu.VMEM((B, Hk, band, D), v_cache.dtype),
             pltpu.VMEM((B, Hk, 128), jnp.float32),
             pltpu.VMEM((B, Hk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
-        _uniform_append_q8_kernel,
+        functools.partial(_uniform_append_q8_kernel, band=band),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(a.shape, a.dtype)

@@ -33,9 +33,11 @@ def dump_activation(tag: str, x: jax.Array, n: int = 10) -> jax.Array:
     if not _ENABLED:
         return x
     flat = x.reshape(-1)[:n].astype(jnp.float32)
+    # tag rides as a parameter, not spliced into the format string — a
+    # caller tag containing '{'/'}' must not break the formatter
     jax.debug.print(
-        tag + ": head={h} mean={m:.6f} absmax={a:.6f}",
-        h=flat, m=jnp.mean(x.astype(jnp.float32)),
+        "{t}: head={h} mean={m:.6f} absmax={a:.6f}",
+        t=tag, h=flat, m=jnp.mean(x.astype(jnp.float32)),
         a=jnp.max(jnp.abs(x.astype(jnp.float32))),
     )
     return x
@@ -46,7 +48,7 @@ def dump_top_logits(tag: str, logits: jax.Array, k: int = 5) -> jax.Array:
     if not _ENABLED:
         return logits
     vals, idx = jax.lax.top_k(logits.astype(jnp.float32), k)
-    jax.debug.print(tag + ": top{k} ids={i} vals={v}", k=k, i=idx, v=vals)
+    jax.debug.print("{t}: top{k} ids={i} vals={v}", t=tag, k=k, i=idx, v=vals)
     return logits
 
 
@@ -59,7 +61,7 @@ def dump_kv_rows(tag: str, cache_layer: jax.Array, batch: int, head: int,
         return cache_layer
     rows = jax.lax.dynamic_slice_in_dim(
         cache_layer[batch, head], start, count, axis=0)
-    jax.debug.print(tag + ": kv[{b},{h},{s}:{e}] firstdims={r}",
-                    b=batch, h=head, s=start, e=start + count,
+    jax.debug.print("{t}: kv[{b},{h},{s}:{e}] firstdims={r}",
+                    t=tag, b=batch, h=head, s=start, e=start + count,
                     r=rows[:, :4].astype(jnp.float32))
     return cache_layer

@@ -167,3 +167,48 @@ def test_debug_dump_hooks_are_noops_and_printable(capsys):
         jax.effects_barrier()
     finally:
         debug.enable(False)
+
+
+def test_chunked_prefill_across_ticks_matches_manual():
+    """A prompt longer than prefill_chunk is prefilled one chunk per tick
+    while an already-running request keeps decoding — outputs of both must
+    still match the solo manual loop (no head-of-line corruption)."""
+    short = [7, 8, 9]
+    long = list(range(1, 41))  # 40 tokens > prefill_chunk=16 -> 3 pieces
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+        prefill_chunk=16,
+    )
+    cb.submit(Request(request_id=0, prompt=short, max_new_tokens=8))
+    cb.step()  # short request prefilled + first decode
+    cb.submit(Request(request_id=1, prompt=long, max_new_tokens=6))
+    ticks = 0
+    while cb.has_work():
+        cb.step()
+        ticks += 1
+        assert ticks < 64
+    by_id = {f.request_id: f for f in cb.run_to_completion() + cb._finished}
+    # note: run_to_completion drained already; collect from both calls
+    assert not cb.has_work()
+    for rid, prompt, n in ((0, short, 8), (1, long, 6)):
+        expect = _manual_greedy(prompt, n)
+        got = by_id[rid].token_ids
+        assert got[: len(expect)] == expect, (rid, got, expect)
+
+
+def test_scheduler_stats_decode_throughput_nonzero():
+    """step() must record real elapsed decode time so the HTTP /stats
+    decode_tokens_per_s is observable in serving mode (it divided by an
+    always-zero accumulator before)."""
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+    )
+    cb.submit(Request(request_id=0, prompt=[5, 6, 7], max_new_tokens=5))
+    while cb.has_work():
+        cb.step()
+    snap = cb.metrics.snapshot()
+    assert snap["decode_tokens"] >= 4
+    assert snap["decode_tokens_per_s"] > 0.0
+    assert snap["ttft_p50_s"] > 0.0
