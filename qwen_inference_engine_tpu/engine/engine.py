@@ -92,12 +92,21 @@ class Engine:
         self.kv_dtype = kv_dtype
         self.sampling = sampling or SamplingParams()
         self.seed = seed
-        # Pallas custom calls are not GSPMD-partitionable: under a
-        # multi-device mesh the sharded XLA paths (einsum attention, fused
-        # dequant einsum) are used instead; wrapping the kernels in
-        # shard_map is future work.
+        # Pallas custom calls are not GSPMD-partitionable. Under a
+        # multi-device mesh the step therefore runs through shard_map
+        # (parallel/tp_step.py) so the kernels execute per shard at full
+        # speed; models whose shapes can't split over the mesh fall back
+        # to the partitionable XLA paths (einsum attention, dequant einsum).
+        self._tp_step = False
         if mesh is not None and getattr(mesh, "size", 1) > 1:
-            use_pallas = False
+            from qwen_inference_engine_tpu.parallel.tp_step import supports_tp
+
+            tp = dict(mesh.shape).get("model", 1)
+            if tp > 1 and dict(mesh.shape).get("data", 1) >= 1 and \
+                    supports_tp(cfg, params, tp):
+                self._tp_step = True
+            else:
+                use_pallas = False
         self.use_pallas = use_pallas
         self.metrics = Metrics()
         if track_repetition is None:
@@ -120,12 +129,50 @@ class Engine:
     # ------------------------------------------------------------------
     # jitted steps (sampling fused)
     # ------------------------------------------------------------------
+    def _cache_template(self) -> KVCache:
+        """Shape/dtype skeleton of new_cache() (no device allocation)."""
+        S = -(-self.max_seq // 256) * 256
+        shape = (self.cfg.num_layers, self.max_batch, self.cfg.num_kv_heads,
+                 S, self.cfg.head_dim)
+        quant = self.kv_dtype == jnp.int8
+        sds = jax.ShapeDtypeStruct
+        return KVCache(
+            k=sds(shape, self.kv_dtype), v=sds(shape, self.kv_dtype),
+            k_scale=sds(shape[:-1], jnp.float32) if quant else None,
+            v_scale=sds(shape[:-1], jnp.float32) if quant else None,
+        )
+
+    def _tp_forward_fns(self):
+        """shard_map'd prefill/decode forwards (built once per cache shape)."""
+        from qwen_inference_engine_tpu.parallel.tp_step import (
+            make_tp_decode_fn,
+            make_tp_prefill_fn,
+        )
+
+        cache = self._cache_template()
+        key = ("tp_fwd", cache.k.shape, str(cache.k.dtype))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = (
+                make_tp_prefill_fn(self.cfg, self.mesh, self.params, cache,
+                                   chunk=512),
+                make_tp_decode_fn(self.cfg, self.mesh, self.params, cache,
+                                  uniform_decode=False),
+                make_tp_decode_fn(self.cfg, self.mesh, self.params, cache,
+                                  uniform_decode=True),
+            )
+        return self._jit_cache[key]
+
     def _prefill_step(self, sp_static):
         cfg, use_pallas = self.cfg, self.use_pallas
+        tp_fns = self._tp_forward_fns() if self._tp_step else None
 
         def fn(params, tokens, lengths, cache, key, sp, seen):
-            logits, cache = prefill_chunked(params, cfg, tokens, lengths, cache,
-                                            chunk=512, use_pallas=use_pallas)
+            if tp_fns is not None:
+                logits, cache = tp_fns[0](params, tokens, lengths, cache)
+            else:
+                logits, cache = prefill_chunked(params, cfg, tokens, lengths,
+                                                cache, chunk=512,
+                                                use_pallas=use_pallas)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
                 repetition_penalty=sp["repetition_penalty"])
@@ -140,11 +187,16 @@ class Engine:
     def _decode_step(self, sp_static, uniform: bool):
         cfg, use_pallas = self.cfg, self.use_pallas
         eos = jnp.asarray(list(cfg.eos_token_ids), jnp.int32)
+        tp_fns = self._tp_forward_fns() if self._tp_step else None
 
         def fn(params, tok, pos, cache, key, sp, seen, done):
-            logits, cache = decode_step(params, cfg, tok, pos, cache,
-                                        use_pallas=use_pallas,
-                                        uniform_decode=uniform)
+            if tp_fns is not None:
+                logits, cache = tp_fns[2 if uniform else 1](params, tok, pos,
+                                                           cache)
+            else:
+                logits, cache = decode_step(params, cfg, tok, pos, cache,
+                                            use_pallas=use_pallas,
+                                            uniform_decode=uniform)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
                 repetition_penalty=sp["repetition_penalty"])

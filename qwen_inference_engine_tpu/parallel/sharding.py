@@ -94,11 +94,11 @@ def cache_pspecs(cache, mesh: Mesh):
     """
     m_size = mesh.shape[MODEL_AXIS]
     if isinstance(cache, PagedKVCache):
-        hk = cache.k_pages.shape[3]
+        hk = cache.k_pages.shape[2]  # [L, P, Hk, page, D]
         on_heads = hk % m_size == 0
-        kv = P(None, None, None, MODEL_AXIS, None) if on_heads else \
+        kv = P(None, None, MODEL_AXIS, None, None) if on_heads else \
              P(None, None, None, None, MODEL_AXIS)
-        sc = P(None, None, None, MODEL_AXIS) if on_heads else P(None, None, None, None)
+        sc = P(None, None, MODEL_AXIS, None) if on_heads else P(None, None, None, None)
         return PagedKVCache(
             k_pages=kv, v_pages=kv,
             k_scale=None if cache.k_scale is None else sc,
