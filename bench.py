@@ -80,14 +80,19 @@ def main():
     from qwen_inference_engine_tpu.kvcache.cache import KVCache
     from qwen_inference_engine_tpu.models.qwen import (
         decode_step,
+        decode_step_pumped,
         init_params,
         init_quantized_params,
         prefill_chunked,
+        pumped_supported,
     )
     from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
     cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
     max_seq = prompt_len + steps + 16
+    # double-pumped decode (fused attention∥MLP kernel): on by default for
+    # the INT4/bf16-KV config it covers; BENCH_PUMPED=0 forces the plain path
+    want_pumped = os.environ.get("BENCH_PUMPED", "1") == "1" and bits == 4
     log(f"bench: {cfg.name} INT{bits} gs={gs} kv={kv_bits} batch={batch} "
         f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
 
@@ -97,10 +102,13 @@ def main():
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
         params = init_quantized_params(cfg, key, bits=bits, group_size=gs,
-                                       quantize_lm_head=q_lmhead)
+                                       quantize_lm_head=q_lmhead,
+                                       pad_free=want_pumped)
     kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)
+    pumped = want_pumped and pumped_supported(cfg, params, cache, batch)
+    log(f"decode path: {'double-pumped fused' if pumped else 'plain'}")
     jax.block_until_ready(params)
     log(f"params ready in {time.perf_counter()-t0:.1f}s; "
         f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
@@ -108,8 +116,11 @@ def main():
     sp = SamplingParams(temperature=0.7, top_k=50, approx_top_k=True)
 
     def _decode(params, tok, pos, cache, rkey):
-        logits, cache = decode_step(params, cfg, tok, pos, cache,
-                                    uniform_decode=True)
+        if pumped:
+            logits, cache = decode_step_pumped(params, cfg, tok, pos, cache)
+        else:
+            logits, cache = decode_step(params, cfg, tok, pos, cache,
+                                        uniform_decode=True)
         return sample(logits, rkey, sp), cache
 
     jit_prefill = jax.jit(

@@ -33,7 +33,9 @@ from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.kvcache.cache import KVCache
 from qwen_inference_engine_tpu.models.qwen import (
     decode_step,
+    decode_step_pumped,
     prefill_chunked,
+    pumped_supported,
 )
 from qwen_inference_engine_tpu.ops.sampling import (
     SamplingParams,
@@ -188,11 +190,21 @@ class Engine:
         cfg, use_pallas = self.cfg, self.use_pallas
         eos = jnp.asarray(list(cfg.eos_token_ids), jnp.int32)
         tp_fns = self._tp_forward_fns() if self._tp_step else None
+        # double-pumped fused decode (ops/fused_step.py): aligned batches on
+        # a single chip where the INT4 fused kernel covers the model
+        pumped = (tp_fns is None and uniform and use_pallas
+                  and jax.default_backend() == "tpu"
+                  and pumped_supported(cfg, self.params,
+                                       self._cache_template(),
+                                       self.max_batch))
 
         def fn(params, tok, pos, cache, key, sp, seen, done):
             if tp_fns is not None:
                 logits, cache = tp_fns[2 if uniform else 1](params, tok, pos,
                                                            cache)
+            elif pumped:
+                logits, cache = decode_step_pumped(params, cfg, tok, pos,
+                                                   cache)
             else:
                 logits, cache = decode_step(params, cfg, tok, pos, cache,
                                             use_pallas=use_pallas,

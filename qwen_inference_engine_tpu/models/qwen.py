@@ -87,10 +87,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
 
 def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
                           group_size: int = 128, dtype=jnp.bfloat16,
-                          quantize_lm_head: bool = False) -> dict:
+                          quantize_lm_head: bool = False,
+                          pad_free: bool = False) -> dict:
     """Random-init a pytree with projections already in packed INT8/INT4
     form — used by benchmarks so a 7B INT4 model never materializes in bf16.
-    Values are drawn directly in quantized space with realistic scales."""
+    Values are drawn directly in quantized space with realistic scales.
+
+    pad_free: mirror QuantConfig.pad_free — shrink group sizes instead of
+    padding reduction axes (required by the fused decode kernel)."""
     from qwen_inference_engine_tpu.ops.linear import QuantLinear
 
     L, D, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
@@ -101,6 +105,12 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
 
     def qlin(kin: int, out: int, bias: bool) -> QuantLinear:
         gs = group_size
+        if bits == 4 and pad_free:
+            from qwen_inference_engine_tpu.quant.quantize import (
+                pad_free_group_size,
+            )
+
+            gs = pad_free_group_size(kin, gs)
         if bits == 4:
             # mirror quantize_linear: shrink gs for tiny dims, pad huge ones
             while gs > 2 and (kin % gs or (kin // gs) % 2):
@@ -603,6 +613,168 @@ def decode_step(
         uniform_decode=uniform_decode, reduce_axis=reduce_axis,
     )
     return compute_logits(params, hidden[:, 0], use_pallas), cache
+
+
+def pumped_supported(cfg: ModelConfig, params: dict, cache, batch: int) -> bool:
+    """Whether decode_step_pumped's fused kernel covers this model/cache.
+
+    Requirements: contiguous unquantized cache, even batch, GQA group ≤ 8,
+    D a lane multiple, INT4 gate/up/down with pad-free packing
+    (gate/up out == down in — quantize with QuantConfig(pad_free=True)).
+    """
+    from qwen_inference_engine_tpu.ops.linear import QuantLinear
+
+    if isinstance(cache, PagedKVCache) or getattr(cache, "quantized", False):
+        return False
+    # B ≤ 128 would DOUBLE the MXU pass count (each M ≤ 128 half pays the
+    # same ceil(M/128)=1 pass set the full batch would); the pump only
+    # breaks even when ceil(B/128) == 2*ceil(B/2/128), i.e. B > 128.
+    if batch % 2 or batch <= 128 or cfg.num_heads // cfg.num_kv_heads > 8:
+        return False
+    if cfg.head_dim % 128 or cache.k.shape[3] % 256:
+        return False
+    layers = params["layers"]
+    gate, up, down = layers["gate"], layers["up"], layers["down"]
+    for lin in (gate, up, down):
+        if not isinstance(lin, QuantLinear) or lin.bits != 4 or lin.b is not None:
+            return False
+    F = gate.out_features
+    if up.out_features != F or down.in_features != F:
+        return False  # padded down-proj: quantize pad_free
+    if F % 512 or gate.group_size != up.group_size:
+        return False
+    if 512 % (2 * down.group_size) or cfg.hidden_size % 128:
+        return False
+    return True
+
+
+def decode_step_pumped(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,     # [B] sampled tokens (B even)
+    positions: jax.Array,  # [B] SAME position for every row (aligned batch)
+    cache: KVCache,
+    *,
+    block_n: int = 512,
+    block_s: int = 512,
+) -> Tuple[jax.Array, KVCache]:
+    """Double-pumped decode: the batch is split in halves staggered by half
+    a layer so one half's attention (HBM-bound KV stream) runs INSIDE the
+    same Pallas call as the other half's MLP (MXU-bound INT4 matmuls) —
+    ops/fused_step.py. `ceil(B/128) == 2*ceil(B/2/128)` for B ≤ 256, so the
+    split adds no MXU passes; the overlap removes the serial attention
+    phase that caps the unsplit step at ~53% of the HBM roofline
+    (docs/PERF.md). Numerically identical to decode_step (same kernels'
+    math per half).
+
+    Per layer l (steady state; A and B are the halves):
+      qkv_A(l) → rope → append_A(l)
+      FUSED₁:  attn_A(l)  ∥  mlp_B(l-1)
+      o_A(l) (+residual)
+      qkv_B(l) → rope → append_B(l)
+      FUSED₂:  attn_B(l)  ∥  mlp_A(l)
+      o_B(l) (+residual)
+    l = 0 feeds FUSED₁ a zero MLP input (silu(0)·0 ≡ 0); half B's last MLP
+    drains after the scan with the plain quant matmuls.
+    """
+    from qwen_inference_engine_tpu.ops.fused_step import fused_attn_mlp
+    from qwen_inference_engine_tpu.ops.kv_append import kv_append_uniform
+
+    B = tokens.shape[0]
+    Mb = B // 2
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    G = Hq // Hk
+    Dm = cfg.hidden_size
+    eps = cfg.rms_norm_eps
+    layers_all = params["layers"]
+    gate, up, down = layers_all["gate"], layers_all["up"], layers_all["down"]
+    gs_gate, gs_down = gate.group_size, down.group_size
+    scale = Dh ** -0.5
+
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, D]
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    pos = positions[:1]                            # uniform
+    lens_half = (positions[:Mb] + 1).astype(jnp.int32)
+
+    k_c, v_c = cache.k, cache.v
+
+    def qkv_rope(h, l, rows):
+        """norm → q/k/v → qk-norm → rope for one half ([Mb, D])."""
+        ln = jax.lax.dynamic_index_in_dim(layers_all["input_norm"], l, 0,
+                                          keepdims=False)
+        hn = rms_norm(h, ln, eps)
+        q = apply_linear(hn, layers_all["q"], True, layer=l)
+        k = apply_linear(hn, layers_all["k"], True, layer=l)
+        v = apply_linear(hn, layers_all["v"], True, layer=l)
+        q = q.reshape(Mb, 1, Hq, Dh)
+        k = k.reshape(Mb, 1, Hk, Dh)
+        v = v.reshape(Mb, 1, Hk, Dh)
+        if cfg.qk_norm:
+            qn = jax.lax.dynamic_index_in_dim(layers_all["q_norm"], l, 0,
+                                              keepdims=False)
+            kn = jax.lax.dynamic_index_in_dim(layers_all["k_norm"], l, 0,
+                                              keepdims=False)
+            q = qk_norm(q, qn, eps)
+            k = qk_norm(k, kn, eps)
+        p2 = jnp.broadcast_to(pos[None, :], (Mb, 1))
+        q = apply_rope(q, p2, cos, sin)
+        k = apply_rope(k, p2, cos, sin)
+        return q, k, v
+
+    def prep_q(q):
+        qg = q.reshape(Mb, Hk, G, Dh)
+        if G < 8:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - G), (0, 0)))
+        return qg.astype(jnp.bfloat16)
+
+    def post_norm_at(l):
+        return jax.lax.dynamic_index_in_dim(layers_all["post_norm"], l, 0,
+                                            keepdims=False)
+
+    def fused(l_attn, l_mlp, qh, xm, row0, kc, vc):
+        attn, mlp = fused_attn_mlp(
+            lens_half, l_attn.reshape(1), l_mlp.reshape(1),
+            prep_q(qh), kc, vc, xm.astype(jnp.bfloat16),
+            gate.q, gate.scales, up.q, up.scales, down.q, down.scales,
+            scale=scale, gs_gate=gs_gate, gs_down=gs_down,
+            block_n=block_n, block_s=block_s, row0=row0)
+        attn = attn[:, :, :G, :].reshape(Mb, Hq * Dh)
+        return attn.astype(x.dtype), mlp.astype(x.dtype)
+
+    def body(carry, l):
+        xa, xb_mid, kc, vc = carry
+        # ---- A: qkv/rope/append, then attn_A(l) ∥ mlp_B(l-1) ----
+        qa, ka, va = qkv_rope(xa, l, slice(0, Mb))
+        kc, vc = kv_append_uniform(kc, vc, ka, va, pos[0], l, row0=0)
+        lm = jnp.maximum(l - 1, 0)
+        mlp_in_b = rms_norm(xb_mid, post_norm_at(lm), eps)
+        mlp_in_b = jnp.where(l > 0, mlp_in_b, 0).astype(x.dtype)
+        attn_a, mlp_b = fused(l, lm, qa, mlp_in_b, 0, kc, vc)
+        xb = xb_mid + mlp_b
+        xa = xa + apply_linear(attn_a, layers_all["o"], True, layer=l)
+        # ---- B: qkv/rope/append, then attn_B(l) ∥ mlp_A(l) ----
+        qb, kb, vb = qkv_rope(xb, l, slice(Mb, B))
+        kc, vc = kv_append_uniform(kc, vc, kb, vb, pos[0], l, row0=Mb)
+        mlp_in_a = rms_norm(xa, post_norm_at(l), eps)
+        attn_b, mlp_a = fused(l, l, qb, mlp_in_a, Mb, kc, vc)
+        xb_mid = xb + apply_linear(attn_b, layers_all["o"], True, layer=l)
+        xa = xa + mlp_a
+        return (xa, xb_mid, kc, vc), None
+
+    (xa, xb_mid, k_c, v_c), _ = jax.lax.scan(
+        body, (x[:Mb], x[Mb:], k_c, v_c), jnp.arange(cfg.num_layers))
+
+    # drain: half B's final MLP (layer L-1) through the plain kernels
+    lL = jnp.int32(cfg.num_layers - 1)
+    hb = rms_norm(xb_mid, post_norm_at(lL), eps)
+    g = apply_linear(hb, gate, True, layer=lL)
+    u = apply_linear(hb, up, True, layer=lL)
+    xb = xb_mid + apply_linear(jax.nn.silu(g) * u, down, True, layer=lL)
+
+    hidden = jnp.concatenate([xa, xb], axis=0)
+    hidden = rms_norm(hidden, params["final_norm"], eps)
+    logits = compute_logits(params, hidden, True)
+    return logits, KVCache(k=k_c, v=v_c, k_scale=None, v_scale=None)
 
 
 def score_logits(

@@ -26,15 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
-                           kc_out, vc_out, ktile, vtile, sem):
+                           kc_out, vc_out, ktile, vtile, sem, *, row0, nrows):
     del kc_hbm, vc_hbm  # aliased with kc_out / vc_out
     l = layer_ref[0]
     p = pos_ref[0]
     t0 = pl.multiple_of((p // 8) * 8, 8)
+    rows = pl.ds(row0, nrows)
 
-    kin = pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, 8), :], ktile,
+    kin = pltpu.make_async_copy(kc_out.at[l, rows, :, pl.ds(t0, 8), :], ktile,
                                 sem.at[0])
-    vin = pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, 8), :], vtile,
+    vin = pltpu.make_async_copy(vc_out.at[l, rows, :, pl.ds(t0, 8), :], vtile,
                                 sem.at[1])
     kin.start()
     vin.start()
@@ -46,9 +47,9 @@ def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
     ktile[:] = jnp.where(sel, kn_ref[:][:, :, None, :], ktile[:])
     vtile[:] = jnp.where(sel, vn_ref[:][:, :, None, :], vtile[:])
 
-    kout = pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, 8), :],
+    kout = pltpu.make_async_copy(ktile, kc_out.at[l, rows, :, pl.ds(t0, 8), :],
                                  sem.at[0])
-    vout = pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, 8), :],
+    vout = pltpu.make_async_copy(vtile, vc_out.at[l, rows, :, pl.ds(t0, 8), :],
                                  sem.at[1])
     kout.start()
     vout.start()
@@ -56,14 +57,16 @@ def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
     vout.wait()
 
 
-@jax.jit
-def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer):
-    """Write ``k_new/v_new [B, 1, Hk, D]`` at the SAME ``position`` (scalar)
-    for every row into the stacked head-major caches ``[L, B, Hk, S, D]``
-    (in place). Returns the (aliased) updated caches."""
+@functools.partial(jax.jit, static_argnames=("row0",))
+def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer,
+                      row0: int = 0):
+    """Write ``k_new/v_new [Bn, 1, Hk, D]`` at the SAME ``position`` (scalar)
+    for rows [row0, row0+Bn) into the stacked head-major caches
+    ``[L, B, Hk, S, D]`` (in place). Returns the (aliased) updated caches."""
     L, B, Hk, S, D = k_cache.shape
-    kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
-    vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
+    Bn = k_new.shape[0]
+    kn = k_new.reshape(Bn, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(Bn, Hk, D).astype(v_cache.dtype)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -79,13 +82,13 @@ def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer):
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, Hk, 8, D), k_cache.dtype),
-            pltpu.VMEM((B, Hk, 8, D), v_cache.dtype),
+            pltpu.VMEM((Bn, Hk, 8, D), k_cache.dtype),
+            pltpu.VMEM((Bn, Hk, 8, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _uniform_append_kernel,
+        functools.partial(_uniform_append_kernel, row0=row0, nrows=Bn),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),

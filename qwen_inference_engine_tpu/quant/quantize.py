@@ -33,9 +33,27 @@ class QuantConfig:
                                 # = one group over the whole axis by default)
     quantize_lm_head: bool = False
     kv_bits: int = 16           # 8 → int8 KV cache
+    pad_free: bool = False      # prefer a smaller group size over padding
+                                # the reduction axis (required by the fused
+                                # decode kernel, ops/fused_step.py, whose
+                                # single-pass MLP needs gate/up N == down K)
 
     def __post_init__(self):
         assert self.bits in (4, 8), self.bits
+
+
+def pad_free_group_size(k: int, group_size: int) -> int:
+    """Largest gs ≤ group_size for which INT4 packing needs no K padding
+    (even plane-pair count or a short tile chain — mirrors quantize_linear's
+    padding rule)."""
+    gs = group_size
+    while gs > 2:
+        if k % (2 * gs) == 0:
+            kt = k // (2 * gs)
+            if kt <= 20 or kt % 2 == 0:
+                return gs
+        gs //= 2
+    return gs
 
 
 def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
@@ -59,13 +77,17 @@ def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
     return packed.reshape(*lead, k // 2, n)
 
 
-def quantize_linear(lin: Linear, bits: int, group_size: Optional[int] = None) -> QuantLinear:
+def quantize_linear(lin: Linear, bits: int, group_size: Optional[int] = None,
+                    pad_free: bool = False) -> QuantLinear:
     """Quantize a bf16 Linear to a QuantLinear (weights ``[.., in, out]``).
 
     Works on single weights ``[K, N]`` and layer-stacked ``[L, K, N]``.
+    pad_free: shrink the group size rather than pad the reduction axis.
     """
     w = lin.w.astype(jnp.float32)
     k = w.shape[-2]
+    if bits == 4 and pad_free:
+        group_size = pad_free_group_size(k, group_size or 128)
     if bits == 4:
         # pad the reduction axis so the kernel can halve a long, odd k-tile
         # chain (e.g. Qwen 7B down-proj: K=18944=512*37 -> 19456=1024*19).
@@ -116,8 +138,11 @@ def quantize_params(params: dict, qcfg: QuantConfig) -> dict:
     layers = dict(params["layers"])
     for name, leaf in list(layers.items()):
         if isinstance(leaf, Linear):
-            layers[name] = quantize_linear(leaf, qcfg.bits, qcfg.group_size)
+            layers[name] = quantize_linear(leaf, qcfg.bits, qcfg.group_size,
+                                           pad_free=qcfg.pad_free)
     out["layers"] = layers
     if qcfg.quantize_lm_head and isinstance(out.get("lm_head"), Linear):
-        out["lm_head"] = quantize_linear(out["lm_head"], qcfg.bits, qcfg.group_size)
+        out["lm_head"] = quantize_linear(out["lm_head"], qcfg.bits,
+                                         qcfg.group_size,
+                                         pad_free=qcfg.pad_free)
     return out
