@@ -64,11 +64,13 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
     # default: the strongest measured serving point on one v5e chip —
-    # batch 112, ~900-token prompts, bf16 KV (HBM-capacity-bound), INT4
-    # weights (4961 tok/s/chip, 62% of the 85%-of-roofline target).
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "112"))
+    # batch 96, 1408-token prompts, bf16 KV, INT4 weights: the long-context
+    # mix shifts step bytes toward the KV stream (which runs near HBM
+    # bandwidth) and away from the MXU-pass-bound matmuls, the best
+    # achieved %%-of-roofline (see docs/PERF.md round-2 log).
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "96"))
     steps = int(os.environ.get("BENCH_STEPS", "16" if small else "96"))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "896"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "1408"))
     bits = int(os.environ.get("BENCH_BITS", "4"))
     gs = int(os.environ.get("BENCH_GS", "256"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
@@ -108,7 +110,12 @@ def main():
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)
     pumped = want_pumped and pumped_supported(cfg, params, cache, batch)
-    log(f"decode path: {'double-pumped fused' if pumped else 'plain'}")
+    if not pumped and bits < 16 and os.environ.get("BENCH_FUSE_PROJ", "0") == "1":
+        from qwen_inference_engine_tpu.quant.quantize import fuse_projections
+
+        params = fuse_projections(params)  # qkv + gateup single-call projs
+    log(f"decode path: {'double-pumped fused' if pumped else 'plain'}"
+        + (" +fused-projections" if "qkv" in params["layers"] else ""))
     jax.block_until_ready(params)
     log(f"params ready in {time.perf_counter()-t0:.1f}s; "
         f"weight bytes={tree_bytes(params)/1e9:.2f} GB")

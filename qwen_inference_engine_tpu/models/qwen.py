@@ -336,7 +336,7 @@ def forward_hidden(
     # stay closed over in stacked [L, ...] form; the Pallas matmul indexes
     # them with the layer counter carried through the scan.
     layers_all = params["layers"]
-    proj_names = ("q", "k", "v", "o", "gate", "up", "down")
+    proj_names = ("q", "k", "v", "o", "gate", "up", "down", "qkv", "gateup")
     scanned = {kk: vv for kk, vv in layers_all.items() if kk not in proj_names}
 
     def layer_fn(carry, lp):
@@ -346,16 +346,39 @@ def forward_hidden(
         # cache every step (~70 MB/layer at 7B/b128 — measured ~9 ms/step).
         x, cache_c, l = carry
         h = rms_norm(x, lp["input_norm"], eps)
-        q = apply_linear(h, layers_all["q"], use_pallas, layer=l).reshape(B, T, Hq, Dh)
-        k = apply_linear(h, layers_all["k"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
-        v = apply_linear(h, layers_all["v"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
+        if "qkv" in layers_all:
+            # offline-fused projection (quantize.fuse_projections): one
+            # kernel call instead of three
+            Qd, Kd = Hq * Dh, Hk * Dh
+            qkv = apply_linear(h, layers_all["qkv"], use_pallas, layer=l)
+            q = qkv[..., :Qd].reshape(B, T, Hq, Dh)
+            k = qkv[..., Qd:Qd + Kd].reshape(B, T, Hk, Dh)
+            v = qkv[..., Qd + Kd:].reshape(B, T, Hk, Dh)
+        else:
+            q = apply_linear(h, layers_all["q"], use_pallas, layer=l).reshape(B, T, Hq, Dh)
+            k = apply_linear(h, layers_all["k"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
+            v = apply_linear(h, layers_all["v"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
         if cfg.qk_norm:
             q = qk_norm(q, lp["q_norm"], eps)
             k = qk_norm(k, lp["k_norm"], eps)
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
 
-        if use_contig_kernel and uniform_decode:
+        attn = None
+        if use_contig_kernel and uniform_decode and \
+                cache_c.get("k_scale") is None:
+            # bf16-KV fast path: the fresh K/V rows are appended INSIDE the
+            # attention kernel (blend + band write-back riding the block
+            # attention reads anyway) — the separate tile-RMW append op
+            # cost ~1.6 ms/step at 7B b112.
+            from qwen_inference_engine_tpu.ops.decode_attention import (
+                decode_attention_appending,
+            )
+
+            attn, k_c, v_c = decode_attention_appending(
+                q, cache_c["k"], cache_c["v"], k, v, l, positions[0, 0])
+            cache_c = dict(cache_c, k=k_c, v=v_c)
+        elif use_contig_kernel and uniform_decode:
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
             # — the XLA scatter serializes per batch row (~6.8 ms/step at
             # 7B b128).
@@ -385,7 +408,9 @@ def forward_hidden(
                 cache_c, l, k, v, positions, block_tables, page_size,
                 fresh_prefill, uniform_write=uniform_decode,
             )
-        if fresh_prefill:
+        if attn is not None:
+            pass  # append-fused attention already computed above
+        elif fresh_prefill:
             # self-contained prefill from position 0: attend within the new
             # block only — avoids reading the (empty) rest of the cache.
             if use_flash:
@@ -447,8 +472,13 @@ def forward_hidden(
             o = jax.lax.psum(o, reduce_axis)
         x = x + o
         h = rms_norm(x, lp["post_norm"], eps)
-        gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
-        up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
+        if "gateup" in layers_all:
+            gu = apply_linear(h, layers_all["gateup"], use_pallas, layer=l)
+            F2 = gu.shape[-1] // 2
+            gate, up = gu[..., :F2], gu[..., F2:]
+        else:
+            gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
+            up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
         d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
                          use_pallas, layer=l)
         if reduce_axis is not None:
@@ -634,6 +664,8 @@ def pumped_supported(cfg: ModelConfig, params: dict, cache, batch: int) -> bool:
     if cfg.head_dim % 128 or cache.k.shape[3] % 256:
         return False
     layers = params["layers"]
+    if "gate" not in layers or "up" not in layers:
+        return False  # offline-fused gateup: the fused kernel splits them
     gate, up, down = layers["gate"], layers["up"], layers["down"]
     for lin in (gate, up, down):
         if not isinstance(lin, QuantLinear) or lin.bits != 4 or lin.b is not None:

@@ -62,8 +62,33 @@ def _flash_update(s, v, vs, h, G8, acc_ref, m_ref, l_ref):
     m_ref[sl] = m_new
 
 
+
+
+def _flash_block_batched(s_all, vget, n_groups, G8, acc_ref, m_ref, l_ref):
+    """One online-softmax update for a whole cell's stacked scores.
+
+    s_all: [n_groups*G8, BS] f32 (already masked where needed);
+    vget(g) -> [BS, D] value block for group g. All state ops are WIDE
+    (the per-group form spent ~2 us/cell in narrow [G8,1] chains).
+    """
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s_all, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    pr = jnp.exp(s_all - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+    m_ref[:] = m_new
+    pb = pr.astype(jnp.bfloat16)
+    acc_ref[:] = acc_ref[:] * alpha
+    for g in range(n_groups):
+        sl = slice(g * G8, (g + 1) * G8)
+        acc_ref[sl] = acc_ref[sl] + jax.lax.dot_general(
+            pb[sl], vget(g), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
-                   acc_ref, m_ref, l_ref, *, block_s, scale, n_kv, rpc):
+                   acc_ref, m_ref, l_ref, s_all, *, block_s, scale, n_kv,
+                   rpc):
     bb = pl.program_id(0)      # batch-row block (rpc rows per cell)
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
@@ -75,23 +100,40 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    for r in range(rpc):       # static: rpc batch rows share the cell
-        length = lens_ref[bb * rpc + r]
+    # any row of the cell still has tokens in this block?
+    maxlen = jnp.int32(0)
+    minlen = jnp.int32(2 ** 30)
+    for r in range(rpc):
+        maxlen = jnp.maximum(maxlen, lens_ref[bb * rpc + r])
+        minlen = jnp.minimum(minlen, lens_ref[bb * rpc + r])
 
-        @pl.when(sb * block_s < length)
-        def _(r=r, length=length):
-            kpos = sb * block_s + jax.lax.broadcasted_iota(
-                jnp.int32, (G8, block_s), dimension=1)
-            valid = kpos < length
-            for h in range(n_kv):  # all KV heads of the row in one cell
+    @pl.when(sb * block_s < maxlen)
+    def _():
+        for r in range(rpc):
+            for h in range(n_kv):  # all KV heads of the cell's rows
                 q = q_ref[r, h]                # [G8, D] bf16
                 k = k_ref[0, r, h]             # [BS, D]
-                s = jax.lax.dot_general(
+                sc = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
-                s = jnp.where(valid, s, _NEG_INF)
-                _flash_update(s, v_ref[0, r, h], None, r * n_kv + h, G8,
-                              acc_ref, m_ref, l_ref)
+                sl = slice((r * n_kv + h) * G8, (r * n_kv + h + 1) * G8)
+                s_all[sl] = sc
+
+        @pl.when((sb + 1) * block_s > minlen)
+        def _():
+            # edge block only: mask positions at/after each row's length
+            kpos = sb * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (G8, block_s), dimension=1)
+            for r in range(rpc):
+                valid = kpos < lens_ref[bb * rpc + r]
+                for h in range(n_kv):
+                    sl = slice((r * n_kv + h) * G8,
+                               (r * n_kv + h + 1) * G8)
+                    s_all[sl] = jnp.where(valid, s_all[sl], _NEG_INF)
+
+        _flash_block_batched(
+            s_all[:], lambda g: v_ref[0, g // n_kv, g % n_kv],
+            rpc * n_kv, G8, acc_ref, m_ref, l_ref)
 
     @pl.when(sb == n_sb - 1)
     def _():
@@ -209,7 +251,9 @@ def _decode_attention(lens, layer, q8, k_cache, v_cache, *, scale):
         grid=(B // rpc, S // bs),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=_scratch(rpc * Hk, G8, D),
+        scratch_shapes=_scratch(rpc * Hk, G8, D) + [
+            pltpu.VMEM((rpc * Hk * G8, bs), jnp.float32),
+        ],
     )
     kernel = functools.partial(_decode_kernel, block_s=bs, scale=scale,
                                n_kv=Hk, rpc=rpc)
@@ -438,3 +482,199 @@ def decode_attention_contiguous_fresh(
                                   qg.astype(dt), k_cache, v_cache,
                                   kn, vn, scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+# ----------------------------------------------------------------------
+# Append-fused decode attention: the separate uniform KV append op costs
+# ~1.6 ms/step at 7B b112 (tile RMW of every layer's band). Here the
+# fresh token's K/V rows are instead BLENDED into the already-fetched KV
+# block inside the attention kernel (the s-block containing ``pos``), used
+# for this step's scores, and only the 8-row tile band is DMA'd back to
+# the (aliased, in-place) HBM cache for future steps — the append rides
+# the bytes attention was reading anyway.
+# ----------------------------------------------------------------------
+
+def _decode_append_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, kn_ref,
+                          vn_ref, o_ref, kc_out, vc_out, acc_ref, m_ref,
+                          l_ref, s_all, kband, vband, sem, *, block_s, scale,
+                          n_kv, rpc, n_rb):
+    bb = pl.program_id(0)
+    sb = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    G8 = q_ref.shape[2]
+    D = q_ref.shape[3]
+    l = layer_ref[0]
+    p = pos_ref[0]
+    length = p + 1
+    sb_p = p // block_s
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(sb == sb_p)
+    def _():
+        # blend the fresh rows into this block (in VMEM) and write the
+        # 8-row tile band back to the cache through a small scratch (the
+        # input block buffer is recycled by the pipeline, so the band DMA
+        # must not source from it)
+        t0 = pl.multiple_of(((p % block_s) // 8) * 8, 8)
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (rpc, n_kv, 8, D), dimension=2)
+        sel = row == (p % block_s - t0)
+        kn = kn_ref[:]                        # [rpc, n_kv, D]
+        vn = vn_ref[:]
+        kb = jnp.where(sel, kn[:, :, None, :],
+                       k_ref[0, :, :, pl.ds(t0, 8), :])
+        vb = jnp.where(sel, vn[:, :, None, :],
+                       v_ref[0, :, :, pl.ds(t0, 8), :])
+        k_ref[0, :, :, pl.ds(t0, 8), :] = kb
+        v_ref[0, :, :, pl.ds(t0, 8), :] = vb
+        slot = bb % 2
+
+        @pl.when(bb >= 2)
+        def _():
+            # the slot's previous band write must land before reuse
+            pltpu.make_async_copy(kband.at[slot], kband.at[slot],
+                                  sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(vband.at[slot], vband.at[slot],
+                                  sem.at[slot, 1]).wait()
+
+        kband[slot] = kb.astype(kband.dtype)
+        vband[slot] = vb.astype(vband.dtype)
+        t0g = pl.multiple_of((p // 8) * 8, 8)
+        rows = pl.ds(bb * rpc, rpc)
+        pltpu.make_async_copy(kband.at[slot],
+                              kc_out.at[l, rows, :, pl.ds(t0g, 8), :],
+                              sem.at[slot, 0]).start()
+        pltpu.make_async_copy(vband.at[slot],
+                              vc_out.at[l, rows, :, pl.ds(t0g, 8), :],
+                              sem.at[slot, 1]).start()
+
+    @pl.when(sb * block_s < length)
+    def _():
+        for r in range(rpc):
+            for h in range(n_kv):
+                q = q_ref[r, h]                # [G8, D]
+                k = k_ref[0, r, h]             # [BS, D]
+                sl = slice((r * n_kv + h) * G8, (r * n_kv + h + 1) * G8)
+                s_all[sl] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+
+        @pl.when((sb + 1) * block_s > length)
+        def _():
+            # edge block only (uniform decode: same length on every row)
+            kpos = sb * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (rpc * n_kv * G8, block_s), dimension=1)
+            s_all[:] = jnp.where(kpos < length, s_all[:], _NEG_INF)
+
+        _flash_block_batched(
+            s_all[:], lambda g: v_ref[0, g // n_kv, g % n_kv],
+            rpc * n_kv, G8, acc_ref, m_ref, l_ref)
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(o_ref.dtype)
+
+        @pl.when(bb == n_rb - 1)
+        def _():
+            # drain the last two band writes before the kernel retires
+            for s_ in range(2):
+                @pl.when(jnp.logical_or(bb % 2 == s_,
+                                        jnp.logical_and(bb >= 1,
+                                                        (bb - 1) % 2 == s_)))
+                def _(s_=s_):
+                    pltpu.make_async_copy(kband.at[s_], kband.at[s_],
+                                          sem.at[s_, 0]).wait()
+                    pltpu.make_async_copy(vband.at[s_], vband.at[s_],
+                                          sem.at[s_, 1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _decode_attention_append(pos, layer, q8, k_cache, v_cache, kn, vn, *,
+                             scale):
+    B, Hk, G8, D = q8.shape
+    S = k_cache.shape[3]
+    bs = _pick_block_s(S)
+    rpc = 2 if (B % 2 == 0 and 2 * 2 * Hk * bs * D * k_cache.dtype.itemsize
+                * 2 <= 10 * 1024 * 1024) else 1
+    n_rb = B // rpc
+
+    def kv_index(bb, sb, pos_ref, layer_ref):
+        # clamp to the last valid block: repeated indices skip the DMA
+        return (layer_ref[0], bb, 0, jnp.minimum(sb, pos_ref[0] // bs), 0)
+
+    in_specs = [
+        pl.BlockSpec((rpc, Hk, G8, D), lambda bb, sb, pos, layer: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, rpc, Hk, bs, D), kv_index),
+        pl.BlockSpec((1, rpc, Hk, bs, D), kv_index),
+        pl.BlockSpec((rpc, Hk, D), lambda bb, sb, pos, layer: (bb, 0, 0)),
+        pl.BlockSpec((rpc, Hk, D), lambda bb, sb, pos, layer: (bb, 0, 0)),
+    ]
+    out_specs = (
+        pl.BlockSpec((rpc, Hk, G8, D), lambda bb, sb, pos, layer: (bb, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rb, S // bs),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=_scratch(rpc * Hk, G8, D) + [
+            pltpu.VMEM((rpc * Hk * G8, bs), jnp.float32),
+            pltpu.VMEM((2, rpc, Hk, 8, D), k_cache.dtype),
+            pltpu.VMEM((2, rpc, Hk, 8, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_decode_append_kernel, block_s=bs, scale=scale,
+                               n_kv=Hk, rpc=rpc, n_rb=n_rb)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hk, G8, D), q8.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={3: 1, 4: 2},  # caches alias (scalars count)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hk * G8 * S * D,
+            bytes_accessed=2 * B * Hk * S * D * k_cache.dtype.itemsize,
+            transcendentals=B * Hk * G8 * S,
+        ),
+    )(pos, layer, q8, k_cache, v_cache, kn, vn)
+
+
+def decode_attention_appending(
+    q: jax.Array,          # [B, 1, Hq, D]
+    k_cache: jax.Array,    # [L, B, Hk, S, D] (fresh token NOT yet written)
+    v_cache: jax.Array,
+    k_new: jax.Array,      # [B, 1, Hk, D] this step's post-rope K
+    v_new: jax.Array,
+    layer: jax.Array,
+    position,              # scalar: the fresh token's position (uniform)
+    scale: float | None = None,
+):
+    """Returns (attn [B, 1, Hq, D], k_cache', v_cache') with the fresh
+    rows appended in place (aliased buffers)."""
+    B, T, Hq, D = q.shape
+    Hk = k_cache.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    qg, G, G8 = _prep_q(q, Hk)
+    kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
+    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    out, kc, vc = _decode_attention_append(
+        pos, jnp.asarray(layer, jnp.int32).reshape(1), qg.astype(k_cache.dtype),
+        k_cache, v_cache, kn, vn, scale=scale)
+    return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype), kc, vc

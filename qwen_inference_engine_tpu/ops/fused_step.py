@@ -151,7 +151,7 @@ def _fused_attn_mlp_kernel(
     x_ref, wg_ref, wu_ref, wd_ref,
     sg_ref, su_ref, sd_ref,
     attn_ref, y_ref,
-    acc_att, m_att, l_att, acc_mm, kbuf, vbuf, sem,
+    acc_att, m_att, l_att, s_all, acc_mm, kbuf, vbuf, sem,
     *, na, nm, SB, block_s, scale, n_kv, rpc, gs, gsd, kp, bn, row0, ring,
     upc, skip_attn_compute=False,
 ):
@@ -207,6 +207,11 @@ def _fused_attn_mlp_kernel(
             cp.wait()
 
         if not skip_attn_compute:       # diagnostic ablation (probe only)
+            # batched online-softmax: scores for ALL (row, head) pairs land
+            # in one [rpc·Hk·G8, bs] block so the state update (max, exp,
+            # rescale) runs as a handful of wide VPU ops instead of
+            # rpc·Hk narrow per-head updates (the measured ~2 us/unit
+            # fixed cost of the per-head form)
             kpos = sb * bs + jax.lax.broadcasted_iota(
                 jnp.int32, (G8, bs), dimension=1)
             for r in range(rpc):
@@ -214,12 +219,26 @@ def _fused_attn_mlp_kernel(
                 for h in range(n_kv):
                     q = q_ref[rb * rpc + r, h]           # [G8, D]
                     k = kbuf[slot, r, h]                 # [bs, D]
-                    s = jax.lax.dot_general(
+                    sc = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale
-                    s = jnp.where(valid, s, _NEG_INF)
-                    _flash_update(s, vbuf[slot, r, h], None, r * n_kv + h,
-                                  G8, acc_att, m_att, l_att)
+                    sl = slice((r * n_kv + h) * G8, (r * n_kv + h + 1) * G8)
+                    s_all[sl] = jnp.where(valid, sc, _NEG_INF)
+            m_prev = m_att[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s_all[:], axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pr = jnp.exp(s_all[:] - m_new)
+            l_att[:] = l_att[:] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+            m_att[:] = m_new
+            pb = pr.astype(jnp.bfloat16)
+            acc_att[:] = acc_att[:] * alpha
+            for r in range(rpc):
+                for h in range(n_kv):
+                    sl = slice((r * n_kv + h) * G8, (r * n_kv + h + 1) * G8)
+                    acc_att[sl] = acc_att[sl] + jax.lax.dot_general(
+                        pb[sl], vbuf[slot, r, h], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
         @pl.when(u + ring < na)
         def _():
@@ -374,6 +393,7 @@ def fused_attn_mlp(lens, layer_a, layer_m, q8, k_cache, v_cache, x,
             pltpu.VMEM((rpc * Hk * G8, D), jnp.float32),
             pltpu.VMEM((rpc * Hk * G8, 1), jnp.float32),
             pltpu.VMEM((rpc * Hk * G8, 1), jnp.float32),
+            pltpu.VMEM((rpc * Hk * G8, bs), jnp.float32),
             pltpu.VMEM((m, k), jnp.float32),
             pltpu.VMEM((ring, rpc, Hk, bs, D), k_cache.dtype),
             pltpu.VMEM((ring, rpc, Hk, bs, D), v_cache.dtype),

@@ -68,7 +68,7 @@ def param_pspecs(params: dict) -> dict:
             lspecs[name] = P(None, None)
         elif name in ("q_norm", "k_norm"):
             lspecs[name] = P(None, None)
-        elif name in ("q", "k", "v", "gate", "up"):
+        elif name in ("q", "k", "v", "gate", "up", "qkv", "gateup"):
             lspecs[name] = _linear_pspec(leaf, "out", stacked=True)
         elif name in ("o", "down"):
             lspecs[name] = _linear_pspec(leaf, "in", stacked=True)

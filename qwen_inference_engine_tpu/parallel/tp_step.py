@@ -88,6 +88,10 @@ def supports_tp(cfg: ModelConfig, params: dict, tp: int) -> bool:
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
         return False
     layers = params["layers"]
+    if "qkv" in layers or "gateup" in layers:
+        # offline-fused projections interleave head/FFN columns; TP needs
+        # the split layout (quantize without fuse_projections)
+        return False
     for name in ("q", "k", "v", "gate", "up"):
         lin = layers[name]
         n = lin.w.shape[-1] if isinstance(lin, Linear) else lin.out_features

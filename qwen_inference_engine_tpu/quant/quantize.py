@@ -146,3 +146,44 @@ def quantize_params(params: dict, qcfg: QuantConfig) -> dict:
                                          qcfg.group_size,
                                          pad_free=qcfg.pad_free)
     return out
+
+
+def fuse_projections(params: dict) -> dict:
+    """Concatenate q/k/v -> one ``qkv`` projection and gate/up -> one
+    ``gateup`` (output-axis concat of packed weights, scales and biases).
+
+    Halves the per-layer Pallas call count on the decode hot path (each
+    call costs ~10 us of fixed dispatch+pipeline-warmup on v5e — measured
+    via the fused-MLP ablation, docs/PERF.md). Requires equal group sizes
+    per fused pair. NOTE: fused qkv interleaves q- and kv-head columns, so
+    the tensor-parallel shard_map path declines these params
+    (parallel/tp_step.supports_tp) — keep split projections for TP.
+    """
+    layers = dict(params["layers"])
+
+    def cat(names, out_name):
+        lins = [layers[n] for n in names]
+        if not all(isinstance(l, QuantLinear) for l in lins):
+            return
+        gs = {l.group_size for l in lins}
+        bits = {l.bits for l in lins}
+        kin = {l.q.shape[-2] for l in lins}
+        if len(gs) > 1 or len(bits) > 1 or len(kin) > 1:
+            return
+        b = None
+        if any(l.b is not None for l in lins):
+            if not all(l.b is not None for l in lins):
+                return
+            b = jnp.concatenate([l.b for l in lins], axis=-1)
+        fused = QuantLinear(
+            q=jnp.concatenate([l.q for l in lins], axis=-1),
+            scales=jnp.concatenate([l.scales for l in lins], axis=-1),
+            b=b, bits=lins[0].bits, group_size=lins[0].group_size,
+        )
+        for n in names:
+            del layers[n]
+        layers[out_name] = fused
+
+    cat(("q", "k", "v"), "qkv")
+    cat(("gate", "up"), "gateup")
+    return dict(params, layers=layers)

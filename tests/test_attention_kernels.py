@@ -262,3 +262,38 @@ def test_kv_append_all_uniform_matches_scatter():
         gk, gv = ka.kv_append_all_uniform(kc, vc, kn, vn, jnp.int32(pos))
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(ref_v))
+
+
+@pytest.mark.parametrize("pos", [0, 7, 128, 250])
+def test_append_fused_decode_attention(pos):
+    """Append-fused kernel: output must equal append-then-attend, and the
+    cache must contain the appended rows afterwards (aliased band write)."""
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+
+    L, B, Hk, G, D, S = 3, 4, 2, 4, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(11)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)).astype(np.float32))
+    layer = 1
+
+    # reference: write first, then attend over pos+1 tokens
+    kc_ref = kc.at[layer, :, :, pos].set(kn[:, 0])
+    vc_ref = vc.at[layer, :, :, pos].set(vn[:, 0])
+    lens = jnp.full((B,), pos + 1, jnp.int32)
+    oracle = gqa_attention_kmajor(q, kc_ref[layer], vc_ref[layer],
+                                  jnp.full((B, 1), pos, jnp.int32),
+                                  kv_valid_len=lens)
+
+    with interpret_pallas(da):
+        got, kc2, vc2 = da.decode_attention_appending(
+            q, kc, vc, kn, vn, layer, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc_ref),
+                               rtol=1e-6, atol=1e-6)

@@ -140,3 +140,48 @@ def test_chunked_prefill_matches_monolithic():
     d1, _ = decode_step(params, cfg, nxt, lens, c1)
     d2, _ = decode_step(params, cfg, nxt, lens, c2)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_projections_match_split():
+    """fuse_projections (qkv + gateup single-call projections) must not
+    change greedy generation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        decode_step,
+        init_params,
+        prefill,
+    )
+    from qwen_inference_engine_tpu.quant.quantize import (
+        QuantConfig,
+        fuse_projections,
+        quantize_params,
+    )
+
+    cfg = tiny_config()
+    params = quantize_params(
+        init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32),
+        QuantConfig(bits=4, group_size=16))
+    fused = fuse_projections(params)
+    assert "qkv" in fused["layers"] and "gateup" in fused["layers"]
+
+    rng = np.random.default_rng(3)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    lens = jnp.full((2,), 6, jnp.int32)
+
+    def run(p):
+        cache = KVCache.create(cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                               cfg.head_dim, dtype=jnp.float32)
+        logits, cache = prefill(p, cfg, prompts, lens, cache)
+        toks = [jnp.argmax(logits, -1)]
+        for s in range(4):
+            logits, cache = decode_step(p, cfg, toks[-1].astype(jnp.int32),
+                                        lens + s, cache, uniform_decode=True)
+            toks.append(jnp.argmax(logits, -1))
+        return np.asarray(jnp.stack(toks))
+
+    np.testing.assert_array_equal(run(params), run(fused))
