@@ -103,9 +103,12 @@ def main():
     if bits >= 16:
         params = init_params(cfg, key, dtype=jnp.bfloat16)
     else:
+        # pad_free: required by the fused single-pass MLP / pumped kernels
+        # (gate/up N == down K); shrinks the down-proj group size instead
+        # of padding (e.g. 7B: down gs 256 -> 128)
         params = init_quantized_params(cfg, key, bits=bits, group_size=gs,
                                        quantize_lm_head=q_lmhead,
-                                       pad_free=want_pumped)
+                                       pad_free=True)
     kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)

@@ -314,7 +314,7 @@ def forward_hidden(
         if fresh_prefill:
             use_flash = flash_attention_supported(
                 (B, T, Hq, Dh), (B, T, Hk, Dh))
-        elif paged and T == 1 and not cache.quantized:
+        elif paged and T == 1:
             use_paged_kernel = paged_attention_supported(Dh, page_size)
         elif not paged and T == 1:
             from qwen_inference_engine_tpu.ops.decode_attention import (
@@ -323,6 +323,15 @@ def forward_hidden(
 
             use_contig_kernel = decode_attention_supported(
                 Dh, cache.k.shape[3], Hq, Hk)
+    use_mlp_kernel = False
+    if want_kernels and "gate" in params["layers"]:
+        from qwen_inference_engine_tpu.ops.fused_step import (
+            fused_mlp_supported,
+        )
+
+        lyr = params["layers"]
+        use_mlp_kernel = fused_mlp_supported(
+            lyr["gate"], lyr["up"], lyr["down"], B * T)
     if paged:
         cache_arrays = {"k": cache.k_pages, "v": cache.v_pages,
                         "k_scale": cache.k_scale, "v_scale": cache.v_scale}
@@ -403,6 +412,41 @@ def forward_hidden(
                 k_c, v_c = kv_append_uniform(
                     cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
                 cache_c = dict(cache_c, k=k_c, v=v_c)
+        elif use_paged_kernel:
+            # ragged per-row paged append kernel — XLA lowers the per-row
+            # scatter through block tables to a serial RMW (~6.8 ms/step
+            # at 7B b112); one grid cell per row RMWs its page's tile band
+            if cache_c.get("k_scale") is not None:
+                # int8 pages ride the ragged kernel; the per-page scale
+                # slabs keep the XLA scatter (their page dim is the lane
+                # dim at < 128 lanes — not tile-addressable by DMA — and
+                # they are ~256x smaller than the pages)
+                from qwen_inference_engine_tpu.ops.kv_append import (
+                    paged_append_ragged,
+                )
+
+                qk, sk = quantize_kv(k)
+                qv, sv = quantize_kv(v)
+                k_c, v_c = paged_append_ragged(
+                    cache_c["k"], cache_c["v"], qk, qv, positions[:, 0],
+                    block_tables, l, page_size=page_size)
+                ks_c = paged_write_stacked(
+                    cache_c["k_scale"][..., None], l, sk[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                vs_c = paged_write_stacked(
+                    cache_c["v_scale"][..., None], l, sv[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                cache_c = dict(cache_c, k=k_c, v=v_c,
+                               k_scale=ks_c, v_scale=vs_c)
+            else:
+                from qwen_inference_engine_tpu.ops.kv_append import (
+                    paged_append_ragged,
+                )
+
+                k_c, v_c = paged_append_ragged(
+                    cache_c["k"], cache_c["v"], k, v, positions[:, 0],
+                    block_tables, l, page_size=page_size)
+                cache_c = dict(cache_c, k=k_c, v=v_c)
         else:
             cache_c = _write_cache_stacked(
                 cache_c, l, k, v, positions, block_tables, page_size,
@@ -444,13 +488,23 @@ def forward_hidden(
         elif use_paged_kernel:
             # stacked page pool; the layer index rides in scalar prefetch
             # (slicing the pool copies it — see ops/decode_attention.py).
-            from qwen_inference_engine_tpu.ops.paged_attention import (
-                paged_decode_attention_stacked,
-            )
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.paged_attention import (
+                    paged_decode_attention_stacked_q8,
+                )
 
-            attn = paged_decode_attention_stacked(
-                q, cache_c["k"], cache_c["v"], block_tables,
-                positions[:, 0] + 1, page_size, l)
+                attn = paged_decode_attention_stacked_q8(
+                    q, cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"], block_tables,
+                    positions[:, 0] + 1, page_size, l)
+            else:
+                from qwen_inference_engine_tpu.ops.paged_attention import (
+                    paged_decode_attention_stacked,
+                )
+
+                attn = paged_decode_attention_stacked(
+                    q, cache_c["k"], cache_c["v"], block_tables,
+                    positions[:, 0] + 1, page_size, l)
         else:
             # post-write layer slice; the dynamic-slice read fuses into the
             # attention consumer (no standalone copy of the layer cache).
@@ -472,15 +526,29 @@ def forward_hidden(
             o = jax.lax.psum(o, reduce_axis)
         x = x + o
         h = rms_norm(x, lp["post_norm"], eps)
-        if "gateup" in layers_all:
+        if use_mlp_kernel:
+            # single-pass SwiGLU kernel: gate/up/h intermediates stay in
+            # VMEM (three separate matmuls round-trip ~22 MB/layer of
+            # activations through HBM at 7B M=96)
+            from qwen_inference_engine_tpu.ops.fused_step import fused_mlp
+
+            ga, ua, da_ = (layers_all["gate"], layers_all["up"],
+                           layers_all["down"])
+            d = fused_mlp(h.reshape(B * T, -1), ga.q, ga.scales, ua.q,
+                          ua.scales, da_.q, da_.scales, l,
+                          gs_gate=ga.group_size,
+                          gs_down=da_.group_size).reshape(B, T, -1)
+        elif "gateup" in layers_all:
             gu = apply_linear(h, layers_all["gateup"], use_pallas, layer=l)
             F2 = gu.shape[-1] // 2
             gate, up = gu[..., :F2], gu[..., F2:]
+            d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
+                             use_pallas, layer=l)
         else:
             gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
             up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
-        d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
-                         use_pallas, layer=l)
+            d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
+                             use_pallas, layer=l)
         if reduce_axis is not None:
             # row-parallel down-proj: partials over the sharded FFN dim
             d = jax.lax.psum(d, reduce_axis)

@@ -187,13 +187,17 @@ def decode_attention_supported(head_dim: int, max_seq: int, num_heads: int,
 
 
 def _pick_block_s(s: int) -> int:
-    """Largest divisor of S up to 2048 (128-multiple): big blocks amortize
+    """Largest divisor of S up to a cap (128-multiple): big blocks amortize
     the per-grid-cell overhead; the clamped index map bounds over-fetch at
-    the ragged edge to one block."""
+    the ragged edge to one block. QIE_ATTN_BLOCK_S overrides the cap (perf
+    sweeps)."""
+    import os
+
+    cap = int(os.environ.get("QIE_ATTN_BLOCK_S", "2048"))
     best = 0
     for d in range(1, s // 128 + 1):
         bs = 128 * d
-        if s % bs == 0 and bs <= 2048:
+        if s % bs == 0 and bs <= cap:
             best = bs
     return best
 

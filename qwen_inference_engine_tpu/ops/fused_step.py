@@ -527,3 +527,147 @@ def fused_attn_matmul(lens, layer, q8, k_cache, v_cache, x, wq, wscales, *,
             transcendentals=Ba * Hk * G8 * S,
         ),
     )(lens, layer, q8, k_cache, v_cache, xe, xo, wq, scales5)
+
+# ----------------------------------------------------------------------
+# Standalone single-pass MLP kernel (no attention interleave): one grid
+# over F-tiles computing down(silu(gate(x))·up(x)) with gate/up/down
+# weight tiles streamed once — the [M, F] gate/up/h intermediates never
+# touch HBM (three separate matmul ops round-trip ~22 MB/layer of bf16
+# activations at M=96, ~0.75 ms/step at 7B).
+# ----------------------------------------------------------------------
+
+def _fused_mlp_kernel(layer_ref, x_ref, wg_ref, wu_ref, wd_ref,
+                      sg_ref, su_ref, sd_ref, y_ref, acc_mm,
+                      *, nm, gs, gsd, kp, bn):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_mm[:] = jnp.zeros_like(acc_mm)
+
+    def int4_dot_k(xe, xo, w_ref, s_ref):
+        acc = None
+        for pp in range(kp):
+            sl = slice(pp * gs, (pp + 1) * gs)
+            b = w_ref[0, sl].astype(jnp.int32)
+            l8 = jnp.bitwise_and(b, 0xF)
+            lo = l8.astype(jnp.int8)
+            hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+            xep = xe[:, sl]
+            pe = jax.lax.dot_general(xep, lo, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            po = jax.lax.dot_general(xo[:, sl], hi,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            sxe = jnp.sum(xep.astype(jnp.float32), axis=1,
+                          keepdims=True) * 8.0
+            t = (pe - sxe) * s_ref[0, pp, 0:1, :] \
+                + po * s_ref[0, pp, 1:2, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    xe = x_ref[0]
+    xo = x_ref[1]
+    g = int4_dot_k(xe, xo, wg_ref, sg_ref)
+    u_ = int4_dot_k(xe, xo, wu_ref, su_ref)
+    h = (g * jax.lax.logistic(g)) * u_
+    hb = h.astype(jnp.bfloat16)
+    acc = acc_mm[:]
+    for pq in range(bn // (2 * gsd)):
+        he = hb[:, (2 * pq) * gsd:(2 * pq + 1) * gsd]
+        ho = hb[:, (2 * pq + 1) * gsd:(2 * pq + 2) * gsd]
+        b = wd_ref[0, pq * gsd:(pq + 1) * gsd].astype(jnp.int32)
+        l8 = jnp.bitwise_and(b, 0xF)
+        lo = l8.astype(jnp.int8)
+        hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+        pe = jax.lax.dot_general(he, lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        po = jax.lax.dot_general(ho, hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sxe = jnp.sum(he.astype(jnp.float32), axis=1, keepdims=True) * 8.0
+        acc = acc + (pe - sxe) * sd_ref[0, pq, 0:1, :] \
+                  + po * sd_ref[0, pq, 1:2, :]
+    acc_mm[:] = acc
+
+    @pl.when(c == nm - 1)
+    def _():
+        y_ref[:] = acc_mm[:].astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gs_gate", "gs_down", "block_n"))
+def fused_mlp(x, wg, sg, wu, su, wd, sd, layer, *,
+              gs_gate, gs_down, block_n=512):
+    """x [M, K] @ the whole SwiGLU MLP of layer ``layer``; returns [M, K].
+
+    Same weight layouts as fused_attn_mlp (pad-free INT4: gate/up
+    [L, K/2, F], down [L, F/2, K])."""
+    m, k = x.shape
+    L = wg.shape[0]
+    F = wg.shape[2]
+    bn = block_n
+    assert F % bn == 0 and bn % (2 * gs_down) == 0
+    assert k % (2 * gs_gate) == 0
+    kp = k // (2 * gs_gate)
+    nm = F // bn
+
+    xm = x.astype(jnp.bfloat16).reshape(m, k // (2 * gs_gate), 2, gs_gate)
+    xs = jnp.stack([xm[:, :, 0, :].reshape(m, k // 2),
+                    xm[:, :, 1, :].reshape(m, k // 2)])
+    sg5 = sg.reshape(L, kp, 2, F)
+    su5 = su.reshape(L, kp, 2, F)
+    sd5 = sd.reshape(L, F // (2 * gs_down), 2, k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nm,),
+        in_specs=[
+            pl.BlockSpec((2, m, k // 2), lambda c, *_: (0, 0, 0)),
+            pl.BlockSpec((1, k // 2, bn), lambda c, lr: (lr[0], 0, c)),
+            pl.BlockSpec((1, k // 2, bn), lambda c, lr: (lr[0], 0, c)),
+            pl.BlockSpec((1, bn // 2, k), lambda c, lr: (lr[0], c, 0)),
+            pl.BlockSpec((1, kp, 2, bn), lambda c, lr: (lr[0], 0, 0, c)),
+            pl.BlockSpec((1, kp, 2, bn), lambda c, lr: (lr[0], 0, 0, c)),
+            pl.BlockSpec((1, bn // (2 * gs_down), 2, k),
+                         lambda c, lr: (lr[0], c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, k), lambda c, *_: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((m, k), jnp.float32)],
+    )
+    kernel = functools.partial(_fused_mlp_kernel, nm=nm, gs=gs_gate,
+                               gsd=gs_down, kp=kp, bn=bn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, k), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m * F * k,
+            bytes_accessed=3 * (k // 2) * F + m * k * 4,
+            transcendentals=m * F,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, wg, wu, wd,
+      sg5, su5, sd5)
+
+
+def fused_mlp_supported(gate, up, down, m: int) -> bool:
+    """Pad-free INT4 triple with matching shapes (see fused_mlp)."""
+    from qwen_inference_engine_tpu.ops.linear import QuantLinear
+
+    for lin in (gate, up, down):
+        if not isinstance(lin, QuantLinear) or lin.bits != 4 \
+                or lin.b is not None or lin.q.ndim != 3:
+            return False
+    F = gate.out_features
+    if up.out_features != F or down.in_features != F:
+        return False
+    if F % 512 or 512 % (2 * down.group_size):
+        return False
+    if gate.group_size != up.group_size:
+        return False
+    if down.out_features % (2 * gate.group_size):
+        return False
+    return m <= 256
+

@@ -295,3 +295,100 @@ def kv_append_all_uniform(k_cache, v_cache, k_new, v_new, position):
         input_output_aliases={1: 0, 2: 1},  # caches alias outputs
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(pos, k_cache, v_cache, kn, vn)
+
+# ----------------------------------------------------------------------
+# Ragged per-row PAGED append: continuous batching decodes every slot at a
+# DIFFERENT position, which XLA lowers to a serial per-row scatter RMW
+# (~6.8 ms/step at 7B b112, docs/PERF.md). This kernel gives each batch
+# row one grid cell that RMWs just the tile band of its page — a handful
+# of ~16 KB DMAs per row, in place through the aliased pool. Rows with
+# position < 0 are skipped (inactive slots).
+# ----------------------------------------------------------------------
+
+def _paged_ragged_kernel(pos_ref, tables_ref, layer_ref, kc_hbm, vc_hbm,
+                         kn_ref, vn_ref, kc_out, vc_out, ktile, vtile, sem,
+                         *, page_size, band):
+    del kc_hbm, vc_hbm
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    p = pos_ref[b]
+
+    @pl.when(p >= 0)
+    def _():
+        page = tables_ref[b, p // page_size]
+        slot = p % page_size
+        t0 = pl.multiple_of((slot // band) * band, band)
+
+        cps = [
+            pltpu.make_async_copy(
+                kc_out.at[l, page, :, pl.ds(t0, band), :], ktile, sem.at[0]),
+            pltpu.make_async_copy(
+                vc_out.at[l, page, :, pl.ds(t0, band), :], vtile, sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+        row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape, dimension=1)
+        sel = row == (slot - t0)
+        ktile[:] = jnp.where(sel, kn_ref[b][:, None, :], ktile[:])
+        vtile[:] = jnp.where(sel, vn_ref[b][:, None, :], vtile[:])
+
+        cps = [
+            pltpu.make_async_copy(
+                ktile, kc_out.at[l, page, :, pl.ds(t0, band), :], sem.at[0]),
+            pltpu.make_async_copy(
+                vtile, vc_out.at[l, page, :, pl.ds(t0, band), :], sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def paged_append_ragged(k_pages, v_pages, k_new, v_new, positions,
+                        block_tables, layer, *, page_size):
+    """Write ``k/v_new [B, 1, Hk, D]`` at per-row absolute ``positions [B]``
+    through ``block_tables [B, max_pages]`` into the stacked page pools
+    ``[L, P, Hk, page, D]`` (in place). positions < 0 skip the row."""
+    L, P, Hk, PS, D = k_pages.shape
+    B = k_new.shape[0]
+    band = min(PS, 32 if k_pages.dtype.itemsize == 1 else 8)
+    kn = k_new.reshape(B, Hk, D).astype(k_pages.dtype)
+    vn = v_new.reshape(B, Hk, D).astype(v_pages.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_pages
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hk, band, D), k_pages.dtype),
+            pltpu.VMEM((Hk, band, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_ragged_kernel, page_size=page_size,
+                          band=band),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(positions.astype(jnp.int32), block_tables.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), k_pages, v_pages, kn, vn)

@@ -184,3 +184,139 @@ def paged_decode_attention(
     return paged_decode_attention_stacked(
         q, k_pages[None], v_pages[None], block_tables, seq_lens, page_size,
         0, scale=scale)
+
+# ----------------------------------------------------------------------
+# INT8-KV variant: K/V pages stay int8 through mixed-input MXU dots;
+# per-token scales ([L, P, Hk, page] f32) multiply the f32 score rows (K)
+# and fold into the probabilities before the PV dot (V) — same recipe as
+# the contiguous q8 kernel (ops/decode_attention.py). Continuous batching
+# with INT8 KV doubles the page-pool capacity at equal HBM.
+# ----------------------------------------------------------------------
+
+def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
+                     ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                     scale, page_size, n_kv):
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+    n_pt = pl.num_programs(1)
+    GP = q_ref.shape[2]
+
+    @pl.when(pt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    seq_len = lens_ref[b]
+
+    @pl.when(pt * page_size < seq_len)
+    def _():
+        k_pos = pt * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (GP, page_size), 1)
+        valid = k_pos < seq_len
+        for h in range(n_kv):
+            q = q_ref[0, h]                                # [GP, D] bf16
+            k = k_ref[0, 0, h]                             # [page, D] int8
+            ks = ks_ref[0, 0, h]                           # [page] f32
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * (ks[None, :] * scale)                  # dequant K
+            s = jnp.where(valid, s, _NEG_INF)
+
+            sl = slice(h * GP, (h + 1) * GP)
+            m_prev = m_ref[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[sl] = m_new
+            pv = jax.lax.dot_general(
+                (p * vs_ref[0, 0, h][None, :]).astype(jnp.bfloat16),
+                v_ref[0, 0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[sl] = acc_ref[sl] * alpha + pv
+
+    @pl.when(pt == n_pt - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "page_size"))
+def _paged_bhgd_q8(q, k_pages, v_pages, k_scale, v_scale, tables, lens,
+                   layer, *, scale, page_size):
+    B, Hk, GP, D = q.shape
+    pages_max = tables.shape[1]
+
+    def kv_index(b, pt, tables, lens, layer):
+        last = jnp.maximum(lens[b] - 1, 0) // page_size
+        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0, 0)
+
+    def sc_index(b, pt, tables, lens, layer):
+        last = jnp.maximum(lens[b] - 1, 0) // page_size
+        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0)
+
+    kernel = functools.partial(
+        _paged_kernel_q8, scale=scale, page_size=page_size, n_kv=Hk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, pages_max),
+        in_specs=[
+            pl.BlockSpec((1, Hk, GP, D),
+                         lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hk, page_size), sc_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hk, page_size), sc_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hk, GP, D),
+                               lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Hk * GP, D), jnp.float32),
+            pltpu.VMEM((Hk * GP, 1), jnp.float32),
+            pltpu.VMEM((Hk * GP, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, GP, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(tables, lens, layer, q, k_pages, v_pages, k_scale, v_scale)
+
+
+def paged_decode_attention_stacked_q8(
+    q: jax.Array,           # [B, 1, Hq, D]
+    k_pages: jax.Array,     # [L, P, Hk, page, D] int8
+    v_pages: jax.Array,
+    k_scale: jax.Array,     # [L, P, Hk, page] f32
+    v_scale: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    page_size: int,
+    layer,
+    scale: float | None = None,
+) -> jax.Array:
+    """INT8-KV decode attention off the stacked page pool."""
+    B, T, Hq, D = q.shape
+    Hk = k_pages.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    qh, G = _prep_q(q, Hk)
+    out = _paged_bhgd_q8(qh.astype(jnp.bfloat16), k_pages, v_pages,
+                         k_scale, v_scale,
+                         block_tables.astype(jnp.int32),
+                         seq_lens.astype(jnp.int32),
+                         jnp.asarray(layer, jnp.int32).reshape(1),
+                         scale=float(scale), page_size=page_size)
+    return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+

@@ -297,3 +297,86 @@ def test_append_fused_decode_attention(pos):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_paged_decode_attention_q8_matches_oracle():
+    """INT8-KV paged kernel vs dequantize-then-attend oracle."""
+    import qwen_inference_engine_tpu.ops.paged_attention as pa
+    from qwen_inference_engine_tpu.quant.kv_quant import (
+        dequantize_kv,
+        quantize_kv,
+    )
+
+    B, Hk, G, D, page_size, max_pages = 3, 2, 4, 128, 16, 4
+    Hq = G * Hk
+    P = B * max_pages + 1
+    rng = np.random.default_rng(13)
+    kf = jnp.asarray(rng.normal(size=(P, Hk, page_size, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(P, Hk, page_size, D)), jnp.float32)
+    # quantize per (page, head, slot) row like the runtime does (token rows)
+    qk, sk = quantize_kv(kf.reshape(P * Hk * page_size, 1, 1, D))
+    qv, sv = quantize_kv(vf.reshape(P * Hk * page_size, 1, 1, D))
+    k8 = qk.reshape(P, Hk, page_size, D)
+    v8 = qv.reshape(P, Hk, page_size, D)
+    ks = sk.reshape(P, Hk, page_size)
+    vs = sv.reshape(P, Hk, page_size)
+
+    tables = jnp.asarray(
+        rng.permutation(np.arange(1, P))[: B * max_pages].reshape(B, max_pages),
+        jnp.int32)
+    lens = jnp.asarray([17, 64, 40], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+
+    kd = dequantize_kv(k8.reshape(P, Hk, page_size, D),
+                       ks.reshape(P, Hk, page_size), jnp.float32)
+    vd = dequantize_kv(v8.reshape(P, Hk, page_size, D),
+                       vs.reshape(P, Hk, page_size), jnp.float32)
+    k_view = paged_read(kd, tables)
+    v_view = paged_read(vd, tables)
+    oracle = gqa_attention_kmajor(q, k_view, v_view, (lens - 1)[:, None],
+                                  kv_valid_len=lens)
+
+    with interpret_pallas(pa):
+        got = pa.paged_decode_attention_stacked_q8(
+            q, k8[None], v8[None], ks[None], vs[None], tables, lens,
+            page_size, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_paged_append_ragged_matches_scatter():
+    """Ragged paged append kernel vs the XLA scatter (incl. skipped rows)."""
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.kvcache.cache import paged_write_stacked
+
+    L, P, Hk, PS, D = 2, 14, 2, 16, 128
+    B, max_pages = 3, 4
+    rng = np.random.default_rng(17)
+    kp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, 1, Hk, D)), jnp.float32)
+    tables = jnp.asarray(rng.permutation(np.arange(1, P))[: B * max_pages]
+                         .reshape(B, max_pages), jnp.int32)
+    positions = jnp.asarray([5, 33, -1], jnp.int32)  # row 2 inactive
+    layer = 1
+
+    active = positions >= 0
+    kp_ref = paged_write_stacked(
+        kp, layer, jnp.where(active[:, None, None, None], kn, 0),
+        jnp.maximum(positions, 0)[:, None],
+        jnp.where(active[:, None], tables, 0), PS)
+    # row 2 wrote into scratch page 0; the kernel skips it instead — only
+    # compare non-scratch pages
+    vp_ref = paged_write_stacked(
+        vp, layer, jnp.where(active[:, None, None, None], vn, 0),
+        jnp.maximum(positions, 0)[:, None],
+        jnp.where(active[:, None], tables, 0), PS)
+
+    with interpret_pallas(ka):
+        kp2, vp2 = ka.paged_append_ragged(kp, vp, kn, vn, positions, tables,
+                                          layer, page_size=PS)
+    np.testing.assert_allclose(np.asarray(kp2[:, 1:]), np.asarray(kp_ref[:, 1:]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp2[:, 1:]), np.asarray(vp_ref[:, 1:]),
+                               rtol=1e-6, atol=1e-6)

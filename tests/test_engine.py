@@ -212,3 +212,20 @@ def test_scheduler_stats_decode_throughput_nonzero():
     assert snap["decode_tokens"] >= 4
     assert snap["decode_tokens_per_s"] > 0.0
     assert snap["ttft_p50_s"] > 0.0
+
+
+def test_continuous_batching_int8_kv_smoke():
+    """Paged INT8-KV end to end: quantized pool + scales flow through
+    admission, chunked prefill, decode, and completion."""
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.int8,
+    )
+    assert cb.cache.quantized
+    for i in range(3):
+        cb.submit(Request(request_id=i, prompt=[5 + i, 9, 17, 3],
+                          max_new_tokens=5))
+    finished = cb.run_to_completion()
+    assert sorted(f.request_id for f in finished) == [0, 1, 2]
+    for f in finished:
+        assert len(f.token_ids) >= 1

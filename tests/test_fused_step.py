@@ -196,3 +196,34 @@ def _interp_call(orig):
         k["interpret"] = True
         return orig(*a, **k)
     return call
+
+
+def test_fused_mlp_matches_oracle():
+    import qwen_inference_engine_tpu.ops.fused_step as fs
+
+    rng = np.random.default_rng(4)
+    L, Mb, K, F = 2, 8, 256, 512
+    gs_gate, gs_down = 64, 128
+    layer = 1
+    x = jnp.asarray(rng.normal(size=(Mb, K)), jnp.float32)
+    wg = jnp.asarray(rng.integers(-128, 128, (L, K // 2, F)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-128, 128, (L, K // 2, F)), jnp.int8)
+    wd = jnp.asarray(rng.integers(-128, 128, (L, F // 2, K)), jnp.int8)
+    sg = jnp.asarray(rng.uniform(0.01, 0.02, (L, K // gs_gate, F)), jnp.float32)
+    su = jnp.asarray(rng.uniform(0.01, 0.02, (L, K // gs_gate, F)), jnp.float32)
+    sd = jnp.asarray(rng.uniform(0.01, 0.02, (L, F // gs_down, K)), jnp.float32)
+
+    with interpret_pallas(fs):
+        y = fs.fused_mlp(x, wg, sg, wu, su, wd, sd, layer,
+                         gs_gate=gs_gate, gs_down=gs_down, block_n=256)
+
+    def deq(w, s, gs):
+        lin = QuantLinear(q=w[layer], scales=s[layer], b=None, bits=4,
+                          group_size=gs)
+        return dequantize(lin).astype(jnp.float32)
+
+    g = x @ deq(wg, sg, gs_gate)
+    u = x @ deq(wu, su, gs_gate)
+    y_ref = (jax.nn.silu(g) * u) @ deq(wd, sd, gs_down)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=3e-2, atol=3e-2)
