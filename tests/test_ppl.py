@@ -42,3 +42,36 @@ def test_quantized_ppl_delta(bits, limit):
     qppl = perplexity(qparams, CFG, TOKENS, seq_len=128)
     rel = abs(qppl - base) / base
     assert rel < limit, (base, qppl, rel)
+
+
+def test_quantized_lm_head_ppl_delta():
+    """Quantizing the lm_head (the accuracy-sensitive projection) must
+    still hold a small delta — gate for the bench's quantize_lm_head=1."""
+    base = perplexity(PARAMS, CFG, TOKENS, seq_len=128)
+    qparams = quantize_params(
+        PARAMS, QuantConfig(bits=4, group_size=32, quantize_lm_head=True))
+    qppl = perplexity(qparams, CFG, TOKENS, seq_len=128)
+    rel = abs(qppl - base) / base
+    assert rel < 0.15, (base, qppl, rel)
+
+
+@pytest.mark.parametrize("gs", [16, 32, 64])
+def test_int4_group_size_sweep(gs):
+    """Δppl must degrade monotonically-gently across group sizes (the
+    7B-scale sweep of gs 128/256 scaled to tiny dims)."""
+    base = perplexity(PARAMS, CFG, TOKENS, seq_len=128)
+    qparams = quantize_params(PARAMS, QuantConfig(bits=4, group_size=gs))
+    qppl = perplexity(qparams, CFG, TOKENS, seq_len=128)
+    rel = abs(qppl - base) / base
+    assert rel < 0.12, (gs, base, qppl, rel)
+
+
+def test_pad_free_quantization_ppl_matches_padded():
+    """pad_free packing (shrunken group sizes instead of K padding — the
+    layout the fused kernels need) must not change accuracy class."""
+    a = quantize_params(PARAMS, QuantConfig(bits=4, group_size=32))
+    b = quantize_params(PARAMS, QuantConfig(bits=4, group_size=32,
+                                            pad_free=True))
+    pa = perplexity(a, CFG, TOKENS, seq_len=128)
+    pb = perplexity(b, CFG, TOKENS, seq_len=128)
+    assert abs(pa - pb) / pa < 0.02, (pa, pb)
