@@ -61,10 +61,25 @@ def quant_matmul_tp_row(x, lin: QuantLinear, mesh: Mesh, layer=None):
     """x sharded on its last (reduction) axis, lin sharded on the input
     axis; output replicated via psum over the model axis.
 
-    lin.scales must shard the same way as q's K axis (group boundaries must
-    align with the shard boundary: group_size * groups_per_shard == K_shard).
+    Requires an UNPADDED, shard-aligned quantization: the quantizer may
+    pad K (quantize_linear's odd-tile rule — e.g. 7B down-proj
+    18944→19456), and sharding padded weight rows against logical-K
+    activations misaligns every shard's scale groups (verified wrong/
+    crashing). Quantize with ``QuantConfig(pad_free=True)`` and a group
+    size from ``parallel.tp_step.tp_aligned_group_size``. The full-step
+    shard_map path (parallel/tp_step.py) enforces the same invariants via
+    ``supports_tp``.
     """
     nd = lin.q.ndim
+    tp = mesh.shape[MODEL_AXIS]
+    k_logical = x.shape[-1]
+    unit = 2 if lin.bits == 4 else 1
+    assert lin.in_features == k_logical, (
+        f"padded-K quantization (K={lin.in_features} vs logical "
+        f"{k_logical}) cannot be row-sharded; requantize pad_free")
+    assert k_logical % tp == 0 and (k_logical // tp) % (unit * lin.group_size) == 0, (
+        f"row shards of K={k_logical} at tp={tp} straddle "
+        f"group_size={lin.group_size} boundaries; use tp_aligned_group_size")
     w_spec = P(*([None] * (nd - 2)), MODEL_AXIS, None)
     x_spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
 
