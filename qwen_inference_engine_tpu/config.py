@@ -42,6 +42,15 @@ class ModelConfig:
     # <|im_end|> = 151645 is the reference's hardcoded stop id
     # (layers/src/qwen_main.cu:257); <|endoftext|> = 151643 also terminates.
     eos_token_ids: tuple = (151645, 151643)
+    # Qwen3-MoE (model_type qwen3_moe): num_experts == 0 means dense
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def q_dim(self) -> int:
@@ -90,6 +99,12 @@ class ModelConfig:
             attention_bias=not is_qwen3,
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             eos_token_ids=tuple(eos_ids),
+            num_experts=cfg.get("num_experts", 0) if model_type == "qwen3_moe" else 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0)
+            if model_type == "qwen3_moe" else 0,
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0)
+            if model_type == "qwen3_moe" else 0,
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
 
     @staticmethod
@@ -113,6 +128,28 @@ class ModelConfig:
 
     def to_hf_config(self) -> dict:
         """Inverse of from_hf_config — used by tests to build HF models."""
+        if self.is_moe:
+            return {
+                "model_type": "qwen3_moe",
+                "vocab_size": self.vocab_size,
+                "hidden_size": self.hidden_size,
+                "intermediate_size": self.intermediate_size,
+                "moe_intermediate_size": self.moe_intermediate_size,
+                "num_experts": self.num_experts,
+                "num_experts_per_tok": self.num_experts_per_tok,
+                "norm_topk_prob": self.norm_topk_prob,
+                "decoder_sparse_step": 1,
+                "mlp_only_layers": [],
+                "num_hidden_layers": self.num_layers,
+                "num_attention_heads": self.num_heads,
+                "num_key_value_heads": self.num_kv_heads,
+                "head_dim": self.head_dim,
+                "rope_theta": self.rope_theta,
+                "rms_norm_eps": self.rms_norm_eps,
+                "max_position_embeddings": self.max_position_embeddings,
+                "tie_word_embeddings": self.tie_word_embeddings,
+                "eos_token_id": list(self.eos_token_ids),
+            }
         return {
             "model_type": "qwen3" if self.qk_norm else "qwen2",
             "vocab_size": self.vocab_size,
@@ -166,6 +203,14 @@ PRESETS: dict = {
     "qwen3-4b": _qwen3("qwen3-4b", 151936, 2560, 9728, 36, 32, 8),
     "qwen3-8b": _qwen3("qwen3-8b", 151936, 4096, 12288, 36, 32, 8),
     "qwen3-14b": _qwen3("qwen3-14b", 151936, 5120, 17408, 40, 40, 8),
+    # Qwen3 MoE (128 experts, top-8, per-layer sparse MLP)
+    "qwen3-30b-a3b": _qwen3("qwen3-30b-a3b", 151936, 2048, 6144, 48, 32,
+                            4).replace(num_experts=128, num_experts_per_tok=8,
+                                       moe_intermediate_size=768),
+    "qwen3-235b-a22b": _qwen3("qwen3-235b-a22b", 151936, 4096, 12288, 94, 64,
+                              4).replace(num_experts=128,
+                                         num_experts_per_tok=8,
+                                         moe_intermediate_size=1536),
     "qwen3-32b": _qwen3("qwen3-32b", 151936, 5120, 25600, 64, 64, 8),
 }
 

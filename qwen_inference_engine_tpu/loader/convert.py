@@ -86,10 +86,29 @@ def params_from_state_dict(
         "v": stack_linear(L + "self_attn.v_proj", bias),
         "o": stack_linear(L + "self_attn.o_proj", False),
         "post_norm": stack(L + "post_attention_layernorm.weight"),
-        "gate": stack_linear(L + "mlp.gate_proj", False),
-        "up": stack_linear(L + "mlp.up_proj", False),
-        "down": stack_linear(L + "mlp.down_proj", False),
     }
+    if cfg.is_moe:
+        # Qwen3-MoE: mlp.gate = router [E, D]; mlp.experts.{e}.*_proj
+        def stack_experts(proj: str, transpose: bool):
+            outer = []
+            for i in range(cfg.num_layers):
+                mats = [
+                    _t(fetch(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight"))
+                    if transpose else
+                    fetch(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight")
+                    for e in range(cfg.num_experts)
+                ]
+                outer.append(np.stack(mats))
+            return put(np.stack(outer).astype(_np_dtype(dtype)))
+
+        layers["router"] = Linear(stack(L + "mlp.gate.weight", transpose=True))
+        layers["moe_gate"] = stack_experts("gate_proj", transpose=True)
+        layers["moe_up"] = stack_experts("up_proj", transpose=True)
+        layers["moe_down"] = stack_experts("down_proj", transpose=True)
+    else:
+        layers["gate"] = stack_linear(L + "mlp.gate_proj", False)
+        layers["up"] = stack_linear(L + "mlp.up_proj", False)
+        layers["down"] = stack_linear(L + "mlp.down_proj", False)
     if cfg.qk_norm:
         layers["q_norm"] = stack(L + "self_attn.q_norm.weight")
         layers["k_norm"] = stack(L + "self_attn.k_norm.weight")

@@ -142,8 +142,8 @@ def _decode_kernel(lens_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _decode_kernel_q8(lens_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref,
-                      vs_ref, o_ref, acc_ref, m_ref, l_ref, *, block_s,
-                      scale, n_kv):
+                      vs_ref, o_ref, acc_ref, m_ref, l_ref, s_all, *,
+                      block_s, scale, n_kv):
     b = pl.program_id(0)
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
@@ -159,20 +159,36 @@ def _decode_kernel_q8(lens_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref,
 
     @pl.when(sb * block_s < length)
     def _():
-        kpos = sb * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (G8, block_s), dimension=1)
-        valid = kpos < length
         for h in range(n_kv):
             q = q_ref[0, h]                    # [G8, D] bf16
             k = k_ref[0, 0, h]                 # [BS, D] int8
             ks = ks_ref[0, 0, h]               # [BS] f32
-            s = jax.lax.dot_general(
+            sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = s * (ks[None, :] * scale)      # dequant K post-dot
-            s = jnp.where(valid, s, _NEG_INF)
-            _flash_update(s, v_ref[0, 0, h], vs_ref[0, 0, h], h, G8,
-                          acc_ref, m_ref, l_ref)
+            s_all[h * G8:(h + 1) * G8] = sc * (ks[None, :] * scale)
+
+        @pl.when((sb + 1) * block_s > length)
+        def _():
+            kpos = sb * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (n_kv * G8, block_s), dimension=1)
+            s_all[:] = jnp.where(kpos < length, s_all[:], _NEG_INF)
+
+        # batched wide-VPU state update; V dequant scales fold into the
+        # probabilities before the PV dots
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s_all[:], axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(s_all[:] - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha
+        for h in range(n_kv):
+            sl = slice(h * G8, (h + 1) * G8)
+            pb = (pr[sl] * vs_ref[0, 0, h][None, :]).astype(jnp.bfloat16)
+            acc_ref[sl] = acc_ref[sl] + jax.lax.dot_general(
+                pb, v_ref[0, 0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(sb == n_sb - 1)
     def _():
@@ -288,7 +304,9 @@ def _decode_attention_q8(lens, layer, q8, k_cache, v_cache, k_scale, v_scale,
         grid=(B, S // bs),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=_scratch(Hk, G8, D),
+        scratch_shapes=_scratch(Hk, G8, D) + [
+            pltpu.VMEM((Hk * G8, bs), jnp.float32),
+        ],
     )
     kernel = functools.partial(_decode_kernel_q8, block_s=bs, scale=scale,
                                n_kv=Hk)

@@ -72,6 +72,13 @@ def param_pspecs(params: dict) -> dict:
             lspecs[name] = _linear_pspec(leaf, "out", stacked=True)
         elif name in ("o", "down"):
             lspecs[name] = _linear_pspec(leaf, "in", stacked=True)
+        elif name == "router":
+            # tiny and accuracy-critical: replicate
+            lspecs[name] = Linear(w=P(None, None, None),
+                                  b=None if leaf.b is None else P(None, None))
+        elif name in ("moe_gate", "moe_up", "moe_down"):
+            # expert parallelism: experts sharded over the model axis
+            lspecs[name] = P(None, MODEL_AXIS, None, None)
         else:
             raise KeyError(name)
     specs = {

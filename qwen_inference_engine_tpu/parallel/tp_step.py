@@ -88,6 +88,10 @@ def supports_tp(cfg: ModelConfig, params: dict, tp: int) -> bool:
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
         return False
     layers = params["layers"]
+    if "moe_gate" in layers or "gate" not in layers:
+        # MoE trees route experts via GSPMD expert-parallel sharding; the
+        # shard_map TP step covers the dense families
+        return False
     if "qkv" in layers or "gateup" in layers:
         # offline-fused projections interleave head/FFN columns; TP needs
         # the split layout (quantize without fuse_projections)

@@ -137,6 +137,8 @@ def quantize_params(params: dict, qcfg: QuantConfig) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for name, leaf in list(layers.items()):
+        if name == "router":
+            continue  # tiny, accuracy-critical (MoE top-k selection)
         if isinstance(leaf, Linear):
             layers[name] = quantize_linear(leaf, qcfg.bits, qcfg.group_size,
                                            pad_free=qcfg.pad_free)

@@ -185,3 +185,58 @@ def test_fused_projections_match_split():
         return np.asarray(jnp.stack(toks))
 
     np.testing.assert_array_equal(run(params), run(fused))
+
+
+def test_logit_parity_vs_hf_qwen3_moe():
+    """Tiny Qwen3-MoE (8 experts, top-2) vs the HF torch oracle: router
+    softmax/top-k semantics, expert grouped matmuls, and weighted combine
+    must all match to float roundoff."""
+    import transformers
+
+    cfg = tiny_config(qk_norm=True).replace(
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64)
+    hf_cfg = transformers.Qwen3MoeConfig(**cfg.to_hf_config(),
+                                         attention_bias=False)
+    torch.manual_seed(0)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, T)).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens).long()).logits.float().numpy()
+
+    params = params_from_state_dict(cfg, model.state_dict(), dtype=jnp.float32)
+    cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    ours = np.asarray(
+        score_logits(params, cfg, jnp.asarray(tokens), cache), np.float32)
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_moe_decode_matches_full_forward():
+    """MoE prefill + per-token decode == one full forward (routing must be
+    position-independent through the cache path)."""
+    from qwen_inference_engine_tpu.models.qwen import init_params
+
+    cfg = tiny_config(qk_norm=True).replace(
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    full = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    prompt_len = 5
+    cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    full_cache = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                                cfg.head_dim, dtype=jnp.float32)
+    all_logits = np.asarray(score_logits(params, cfg, full, full_cache),
+                            np.float32)
+    lens = jnp.full((B,), prompt_len, jnp.int32)
+    logits, cache = prefill(params, cfg, full[:, :prompt_len], lens, cache)
+    np.testing.assert_allclose(np.asarray(logits),
+                               all_logits[:, prompt_len - 1], rtol=2e-3,
+                               atol=2e-3)
+    for s in range(prompt_len, T):
+        logits, cache = decode_step(params, cfg, full[:, s],
+                                    jnp.full((B,), s, jnp.int32), cache)
+        np.testing.assert_allclose(np.asarray(logits), all_logits[:, s],
+                                   rtol=2e-3, atol=2e-3, err_msg=f"pos {s}")

@@ -80,3 +80,22 @@ def test_kv_head_fallback_sharding(devices8):
                  max_seq=64, sampling=GREEDY, kv_dtype=jnp.float32)
     out = eng.generate([[3, 1, 4]], max_new_tokens=4).token_ids
     assert out == ref
+
+
+def test_moe_expert_parallel_generation_matches_unsharded(devices8):
+    """Qwen3-MoE under the (1,8) mesh: experts shard over the model axis
+    (expert parallelism via GSPMD); greedy output must match unsharded."""
+    cfg = tiny_config(vocab_size=512, hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_heads=8, num_kv_heads=8, head_dim=16,
+                      qk_norm=True).replace(
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64)
+    from qwen_inference_engine_tpu.models.qwen import init_params as ip
+
+    params = ip(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    ref = Engine(cfg, params, max_batch=2, max_seq=64, sampling=GREEDY,
+                 kv_dtype=jnp.float32).generate(PROMPTS, max_new_tokens=5).token_ids
+    mesh = make_mesh((1, 8), devices=devices8)
+    eng = Engine(cfg, shard_params(params, mesh), mesh=mesh, max_batch=2,
+                 max_seq=64, sampling=GREEDY, kv_dtype=jnp.float32)
+    out = eng.generate(PROMPTS, max_new_tokens=5).token_ids
+    assert out == ref
