@@ -52,6 +52,10 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 128
     sampling: Optional[SamplingParams] = None
+    # wall-clock budget from submission; exceeded -> finish_reason "timeout"
+    # (the reference has no notion of this: its engine runs one request to
+    # completion unconditionally)
+    timeout_s: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -74,7 +78,7 @@ class _Running:
 class FinishedRequest:
     request_id: int
     token_ids: List[int]
-    finish_reason: str                # "eos" | "length"
+    finish_reason: str    # eos | length | rejected | cancelled | timeout
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -159,7 +163,38 @@ class ContinuousBatchingEngine:
         return self.num_active > 0 or self.num_pending > 0
 
     def submit(self, request: Request) -> None:
+        request._t_submit = time.perf_counter()
         self._pending.append(request)
+
+    def cancel(self, request_id: int) -> bool:
+        """Cancel a pending or running request. Frees its slot/pages on
+        the next tick boundary; returns True if it was found."""
+        for i, r in enumerate(self._pending):
+            if r.request_id == request_id:
+                del self._pending[i]
+                self._finished.append(
+                    FinishedRequest(request_id, [], "cancelled"))
+                return True
+        for run in self._slots:
+            if run is not None and run.request.request_id == request_id:
+                self._finish(run, "cancelled")
+                return True
+        return False
+
+    def _expire_deadlines(self) -> None:
+        now = time.perf_counter()
+
+        def expired(req: Request) -> bool:
+            return (req.timeout_s is not None and
+                    now - getattr(req, "_t_submit", now) > req.timeout_s)
+
+        for r in [r for r in self._pending if expired(r)]:
+            self._pending.remove(r)
+            self._finished.append(
+                FinishedRequest(r.request_id, [], "timeout"))
+        for run in list(self._slots):
+            if run is not None and expired(run.request):
+                self._finish(run, "timeout")
 
     # ------------------------------------------------------------------
     def _jit_prefill_piece(self, T: int, first: bool, last: bool,
@@ -345,6 +380,7 @@ class ContinuousBatchingEngine:
         chunk (all chunks if nothing is decoding), then one decode step for
         all active slots. Returns requests that finished this tick."""
         before = len(self._finished)
+        self._expire_deadlines()
         while self._try_admit():
             pass
 

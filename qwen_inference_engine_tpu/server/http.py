@@ -75,7 +75,8 @@ class Server:
                         w.result = f
                         w.event.set()
 
-    def submit(self, prompt_ids, max_new_tokens, sampling) -> _Waiter:
+    def submit(self, prompt_ids, max_new_tokens, sampling,
+               timeout_s=None):
         from qwen_inference_engine_tpu.engine.scheduler import Request
 
         w = _Waiter()
@@ -85,9 +86,15 @@ class Server:
             self._waiters[rid] = w
             self.engine.submit(Request(request_id=rid, prompt=list(prompt_ids),
                                        max_new_tokens=max_new_tokens,
-                                       sampling=sampling))
+                                       sampling=sampling,
+                                       timeout_s=timeout_s))
         self._wake.set()
-        return w
+        return w, rid
+
+    def cancel(self, request_id: int) -> None:
+        with self._lock:
+            self.engine.cancel(request_id)
+            self._waiters.pop(request_id, None)
 
     def shutdown(self):
         self._stop = True
@@ -151,9 +158,16 @@ def _make_handler(server: Server):
                 sp = dataclasses.replace(sp, **overrides, **meta)
             max_new = int(req.get("max_new_tokens", 128))
 
-            w = server.submit(ids, max_new, sp)
-            if not w.event.wait(timeout=600):
+            timeout_s = float(req.get("timeout_s", 600))
+            w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s)
+            if not w.event.wait(timeout=timeout_s + 30):
+                # the scheduler's own deadline should have fired first;
+                # belt-and-braces: cancel so the request stops consuming
+                # slots/pages instead of running on after the client left
+                server.cancel(rid)
                 return self._json(504, {"error": "generation timed out"})
+            if w.result.finish_reason in ("timeout", "cancelled"):
+                return self._json(504, {"error": w.result.finish_reason})
             f = w.result
             return self._json(200, {
                 "request_id": f.request_id,

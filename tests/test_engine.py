@@ -229,3 +229,26 @@ def test_continuous_batching_int8_kv_smoke():
     assert sorted(f.request_id for f in finished) == [0, 1, 2]
     for f in finished:
         assert len(f.token_ids) >= 1
+
+
+def test_scheduler_cancel_and_timeout():
+    """Cancel frees slot+pages immediately; a deadline-expired request
+    finishes with reason 'timeout' instead of running on."""
+    import time as _time
+
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+    )
+    free0 = len(cb._free_pages)
+    cb.submit(Request(request_id=0, prompt=[5, 6, 7], max_new_tokens=50))
+    cb.submit(Request(request_id=1, prompt=[8, 9], max_new_tokens=50,
+                      timeout_s=0.0))  # expires on the first tick
+    cb.step()  # admits + prefills + first decode
+    assert cb.cancel(0)
+    out = {f.request_id: f for f in cb.run_to_completion()}
+    assert out[0].finish_reason == "cancelled"
+    assert out[1].finish_reason == "timeout"
+    assert not cb.has_work()
+    assert len(cb._free_pages) == free0  # all pages returned
+    assert cb.cancel(99) is False
