@@ -232,6 +232,28 @@ class Engine:
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
+    def generate_speculative(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 128,
+        *,
+        k: int = 8,
+        ngram: int = 3,
+    ) -> List[List[int]]:
+        """Greedy generation with prompt-lookup speculation (token-exact
+        vs generate(greedy); 1..k+1 tokens per forward). See
+        engine/speculative.py."""
+        from qwen_inference_engine_tpu.engine.speculative import (
+            generate_speculative,
+        )
+
+        cache = self.new_cache()
+        return generate_speculative(
+            self.params, self.cfg, list(prompts), cache,
+            max_new_tokens=max_new_tokens, k=k, ngram=ngram,
+            use_pallas=self.use_pallas)
+
+    # ------------------------------------------------------------------
     def generate(
         self,
         prompts: Sequence[Sequence[int]],
