@@ -104,6 +104,7 @@ class ContinuousBatchingEngine:
         seed: int = 1234,
         use_pallas: bool = True,
         prefill_chunk: int = 256,
+        on_token=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -115,6 +116,9 @@ class ContinuousBatchingEngine:
         self.sampling = sampling or SamplingParams()
         self.seed = seed
         self.prefill_chunk = prefill_chunk
+        # on_token(request_id, token_id) fires as tokens are produced —
+        # the hook the HTTP server's SSE streaming rides on
+        self.on_token = on_token
         # Pallas custom calls are not GSPMD-partitionable: under a
         # multi-device mesh the step runs through shard_map
         # (parallel/tp_step.py) so the kernels stay on their per-shard fast
@@ -362,6 +366,8 @@ class ContinuousBatchingEngine:
         self.metrics.observe_ttft(time.perf_counter() - run.t_submit)
         run.generated.append(first)
         run.last_token = first
+        if self.on_token is not None:
+            self.on_token(run.request.request_id, first)
         if first in self._eos or len(run.generated) >= run.request.max_new_tokens:
             self._finish(run, "eos" if first in self._eos else "length")
 
@@ -432,6 +438,8 @@ class ContinuousBatchingEngine:
                 self._seq_lens[s.slot] = s.seq_len
                 s.generated.append(tok)
                 s.last_token = tok
+                if self.on_token is not None:
+                    self.on_token(s.request.request_id, tok)
                 if tok in self._eos:
                     self._finish(s, "eos")
                 elif len(s.generated) >= s.request.max_new_tokens:

@@ -8,8 +8,12 @@ work is queued; request threads block on a per-request event.
 Endpoints:
   POST /generate   {"prompt": str | [ids], "max_new_tokens": int,
                     "temperature"?, "top_k"?, "top_p"?,
-                    "repetition_penalty"?, "chat"?: bool}
+                    "repetition_penalty"?, "chat"?: bool,
+                    "stream"?: bool, "timeout_s"?: float}
                 → {"request_id", "text", "token_ids", "finish_reason"}
+                  (stream=true: text/event-stream of
+                   data: {"token_id", "text"} events, final event carries
+                   {"finish_reason", "token_ids"})
   GET  /stats    → metrics snapshot (tok/s, TTFT percentiles, ...)
   GET  /health   → {"status": "ok"}
 """
@@ -17,6 +21,7 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -27,6 +32,7 @@ class _Waiter:
     def __init__(self):
         self.event = threading.Event()
         self.result = None
+        self.tokens: "queue.Queue" = queue.Queue()  # live token stream
 
 
 class Server:
@@ -44,11 +50,12 @@ class Server:
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty, greedy=args.greedy)
         self.engine = ContinuousBatchingEngine(
-            cfg, params, mesh=mesh,
+            cfg, params, mesh=mesh, on_token=self._on_token,
             max_slots=args.max_slots, page_size=args.page_size,
             num_pages=args.num_pages,
             max_pages_per_seq=max(4, args.max_seq // args.page_size),
-            kv_dtype=jnp.int8 if args.kv_bits == 8 else jnp.bfloat16,
+            kv_dtype={8: jnp.int8, 32: jnp.float32}.get(
+                args.kv_bits, jnp.bfloat16),
             sampling=self.default_sp, seed=args.seed)
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}
@@ -59,6 +66,11 @@ class Server:
         self._thread.start()
 
     # ------------------------------------------------------------------
+    def _on_token(self, request_id: int, token_id: int) -> None:
+        w = self._waiters.get(request_id)
+        if w is not None:
+            w.tokens.put(token_id)
+
     def _loop(self):
         while not self._stop:
             with self._lock:
@@ -67,13 +79,29 @@ class Server:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            with self._lock:
-                finished = self.engine.step()
-                for f in finished:
-                    w = self._waiters.pop(f.request_id, None)
-                    if w is not None:
-                        w.result = f
+            try:
+                with self._lock:
+                    finished = self.engine.step()
+                    for f in finished:
+                        w = self._waiters.pop(f.request_id, None)
+                        if w is not None:
+                            w.result = f
+                            w.event.set()
+            except Exception:
+                # a dead scheduler thread would leave every client hanging
+                # until its timeout: fail the waiters loudly instead
+                import traceback
+
+                traceback.print_exc()
+                with self._lock:
+                    for rid, w in list(self._waiters.items()):
+                        from qwen_inference_engine_tpu.engine.scheduler import (
+                            FinishedRequest,
+                        )
+
+                        w.result = FinishedRequest(rid, [], "error")
                         w.event.set()
+                    self._waiters.clear()
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
                timeout_s=None):
@@ -122,6 +150,36 @@ def _make_handler(server: Server):
                 return self._json(200, server.engine.metrics.snapshot())
             return self._json(404, {"error": "not found"})
 
+        def _stream(self, w, rid, timeout_s):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            deadline = time.monotonic() + timeout_s + 30
+            try:
+                while not w.event.is_set() or not w.tokens.empty():
+                    try:
+                        tok = w.tokens.get(timeout=0.1)
+                    except queue.Empty:
+                        if time.monotonic() > deadline:
+                            server.cancel(rid)
+                            break
+                        continue
+                    ev = {"token_id": tok, "text": server.tok.decode([tok])}
+                    self.wfile.write(
+                        f"data: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+                f = w.result
+                final = ({"finish_reason": f.finish_reason,
+                          "token_ids": f.token_ids,
+                          "request_id": f.request_id}
+                         if f is not None else {"finish_reason": "timeout"})
+                self.wfile.write(
+                    f"data: {json.dumps(final)}\n\n".encode())
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                server.cancel(rid)  # client went away: stop generating
+
         def do_POST(self):
             if self.path != "/generate":
                 return self._json(404, {"error": "not found"})
@@ -160,6 +218,8 @@ def _make_handler(server: Server):
 
             timeout_s = float(req.get("timeout_s", 600))
             w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s)
+            if req.get("stream"):
+                return self._stream(w, rid, timeout_s)
             if not w.event.wait(timeout=timeout_s + 30):
                 # the scheduler's own deadline should have fired first;
                 # belt-and-braces: cancel so the request stops consuming

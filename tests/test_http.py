@@ -1,0 +1,102 @@
+"""HTTP serving integration: /generate (sync + SSE streaming), /stats,
+/health against a real ThreadingHTTPServer on a tiny model."""
+
+import http.client
+import json
+import threading
+import types
+
+import jax
+import jax.numpy as jnp
+import pytest
+from http.server import ThreadingHTTPServer
+
+from qwen_inference_engine_tpu.config import tiny_config
+from qwen_inference_engine_tpu.models.qwen import init_params
+from qwen_inference_engine_tpu.server.http import Server, _make_handler
+
+CFG = tiny_config()
+
+
+class _IdTokenizer:
+    def encode(self, text):
+        return [ord(c) % CFG.vocab_size for c in text][:8]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+    def apply_chat_template(self, messages):
+        return messages[-1]["content"]
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    args = types.SimpleNamespace(
+        temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+        greedy=True, max_slots=2, page_size=8, num_pages=64, max_seq=64,
+        kv_bits=32, seed=0)
+    server = Server(CFG, params, _IdTokenizer(), None, args)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+    server.shutdown()
+
+
+def _post(port, body, timeout=120):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", "/generate", json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn.getresponse()
+
+
+def test_generate_and_stats(http_server):
+    port = http_server
+    r = _post(port, {"prompt": [5, 9, 17], "max_new_tokens": 6})
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert 1 <= len(out["token_ids"]) <= 6
+    assert out["finish_reason"] in ("eos", "length")
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/stats")
+    snap = json.loads(conn.getresponse().read())
+    assert snap["requests"] >= 1
+    assert snap["decode_tokens_per_s"] > 0 or snap["decode_tokens"] == 0
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/health")
+    assert json.loads(conn.getresponse().read()) == {"status": "ok"}
+
+
+def test_generate_streaming_sse(http_server):
+    port = http_server
+    r = _post(port, {"prompt": [7, 8, 9], "max_new_tokens": 5,
+                     "stream": True})
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+    events = []
+    buf = b""
+    while True:
+        chunk = r.read(1)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n\n" in buf:
+            raw, buf = buf.split(b"\n\n", 1)
+            assert raw.startswith(b"data: ")
+            events.append(json.loads(raw[6:]))
+    assert events, "no SSE events received"
+    final = events[-1]
+    assert final["finish_reason"] in ("eos", "length")
+    streamed = [e["token_id"] for e in events[:-1]]
+    assert streamed == final["token_ids"][: len(streamed)]
+    assert len(streamed) >= 1
+
+
+def test_bad_requests(http_server):
+    port = http_server
+    assert _post(port, {}).status == 400
+    assert _post(port, {"prompt": 42}).status == 400
