@@ -309,8 +309,13 @@ def forward_hidden(
     uniform_decode: bool = False,
     kv_window: Optional[int] = None,
     reduce_axis: Optional[str] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    apply_final_norm: bool = True,
 ) -> Tuple[jax.Array, object]:
     """Run the transformer stack; returns (hidden [B,T,D], updated cache).
+
+    inputs_embeds: use this [B, T, D] residual stream instead of the
+    embedding lookup (pipeline-parallel stages > 0, parallel/pp_step.py).
 
     kv_window: static upper bound on valid KV length (chunked prefill) —
     the XLA attention path then reads only that prefix of the cache.
@@ -332,7 +337,9 @@ def forward_hidden(
     B, T = tokens.shape
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
-    if reduce_axis is not None and params["embed"].shape[0] < cfg.vocab_size:
+    if inputs_embeds is not None:
+        x = inputs_embeds
+    elif reduce_axis is not None and params["embed"].shape[0] < cfg.vocab_size:
         # vocab-sharded local embedding: masked lookup + psum (Megatron)
         x = _embed_lookup_sharded(params["embed"], tokens, reduce_axis)
     else:
@@ -619,7 +626,8 @@ def forward_hidden(
     # tests as an ablation; the forward has no disabled branches.
     (x, new_cache_arrays, _), _ = jax.lax.scan(
         layer_fn, (x, cache_arrays, jnp.int32(0)), scanned)
-    x = rms_norm(x, params["final_norm"], eps)
+    if apply_final_norm:
+        x = rms_norm(x, params["final_norm"], eps)
 
     if paged:
         new_cache = PagedKVCache(

@@ -1,0 +1,65 @@
+"""Pipeline-parallel forward (parallel/pp_step.py) vs the single-device
+path: layer-staged weights/KV, ppermute ring, masked cache commits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_inference_engine_tpu.config import tiny_config
+from qwen_inference_engine_tpu.kvcache.cache import KVCache
+from qwen_inference_engine_tpu.models.qwen import (
+    decode_step,
+    init_params,
+    prefill,
+)
+from qwen_inference_engine_tpu.parallel.pp_step import (
+    make_pp_forward_fn,
+    make_pp_mesh,
+    shard_for_pp,
+    supports_pp,
+)
+
+CFG = tiny_config(num_layers=4)
+
+
+def test_pp_prefill_and_decode_match_single_device(devices8):
+    mesh = make_pp_mesh(devices=devices8[:4])  # 4 stages x 1 layer
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert supports_pp(CFG, params, 4)
+    B, T = 2, 8
+    rng = np.random.default_rng(0)
+    prompts = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+
+    # reference
+    cache_r = KVCache.create(CFG.num_layers, B, 64, CFG.num_kv_heads,
+                             CFG.head_dim, dtype=jnp.float32)
+    ref_logits, cache_r = prefill(params, CFG, prompts, lens, cache_r)
+    ref = [ref_logits]
+    tok = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    for s in range(3):
+        l, cache_r = decode_step(params, CFG, tok, lens + s, cache_r,
+                                 uniform_decode=True)
+        ref.append(l)
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+
+    # pipeline
+    cache = KVCache.create(CFG.num_layers, B, 64, CFG.num_kv_heads,
+                           CFG.head_dim, dtype=jnp.float32)
+    params_s, cache_s = shard_for_pp(params, cache, mesh)
+    pre = jax.jit(make_pp_forward_fn(CFG, mesh, params, cache))
+    dec = jax.jit(make_pp_forward_fn(CFG, mesh, params, cache,
+                                     uniform_decode=True))
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    logits, cache_s = pre(params_s, prompts, positions, lens, cache_s)
+    got = [logits]
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for s in range(3):
+        pos = (lens + s)[:, None]
+        l, cache_s = dec(params_s, tok[:, None], pos, lens, cache_s)
+        got.append(l)
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"step {i}")

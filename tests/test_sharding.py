@@ -99,3 +99,37 @@ def test_moe_expert_parallel_generation_matches_unsharded(devices8):
                  max_seq=64, sampling=GREEDY, kv_dtype=jnp.float32)
     out = eng.generate(PROMPTS, max_new_tokens=5).token_ids
     assert out == ref
+
+
+def test_sequence_sharded_prefill_matches_unsharded(devices8):
+    """Sequence parallelism via GSPMD: the prompt's TOKEN axis sharded
+    over the model axis (long-context prefill splits the sequence across
+    chips; XLA inserts the gathers causal attention needs). Logits must
+    match the unsharded prefill."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import prefill
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 2, 32
+    rng = np.random.default_rng(5)
+    prompts = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+
+    cache = KVCache.create(CFG.num_layers, B, 64, CFG.num_kv_heads,
+                           CFG.head_dim, dtype=jnp.float32)
+    ref, _ = prefill(params, CFG, prompts, lens, cache)
+
+    mesh = make_mesh((1, 8), devices=devices8)
+    sharded = shard_params(params, mesh)
+    toks_s = jax.device_put(prompts, NamedSharding(mesh, P(None, "model")))
+    cache_s = KVCache.create(CFG.num_layers, B, 64, CFG.num_kv_heads,
+                             CFG.head_dim, dtype=jnp.float32)
+    from qwen_inference_engine_tpu.parallel.sharding import make_sharded_cache
+
+    cache_s = make_sharded_cache(cache_s, mesh)
+    with mesh:
+        got, _ = jax.jit(lambda p, t, l, c: prefill(p, CFG, t, l, c))(
+            sharded, toks_s, lens, cache_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
