@@ -363,7 +363,9 @@ class ContinuousBatchingEngine:
         if not last:
             return
         first = int(tok[0])
-        self.metrics.observe_ttft(time.perf_counter() - run.t_submit)
+        # TTFT counts from SUBMIT (queue time included), not admission
+        t0 = getattr(run.request, "_t_submit", run.t_submit)
+        self.metrics.observe_ttft(time.perf_counter() - t0)
         run.generated.append(first)
         run.last_token = first
         if self.on_token is not None:

@@ -31,6 +31,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size (0 = all devices)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel size")
+    p.add_argument("--f32", action="store_true",
+                   help="f32 weights for the tiny smoke model (CPU runs)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--platform", default=None, choices=("tpu", "cpu"),
                    help="force a JAX platform (cpu useful for testing)")
@@ -75,8 +77,9 @@ def build_model(args):
         # byte-vocab smoke model (random weights, matches the ByteTokenizer)
         from qwen_inference_engine_tpu.config import tiny_config
 
+        dt = jnp.float32 if getattr(args, "f32", False) else jnp.bfloat16
         cfg = tiny_config(vocab_size=512)
-        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=dt)
         tok = load_tokenizer(None)
     else:
         cfg = ModelConfig.from_pretrained(args.model)
