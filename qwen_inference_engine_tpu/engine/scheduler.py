@@ -299,6 +299,25 @@ class ContinuousBatchingEngine:
             "repetition_penalty": jnp.float32(sp.repetition_penalty),
         }
 
+    def _sp_dyn_rows(self):
+        """Per-slot temperature/top_p/repetition vectors: each slot decodes
+        with ITS request's sampling params (top_k/greedy stay engine-level
+        statics). Empty slots take the engine defaults."""
+        import numpy as _np
+
+        t = _np.full((self.max_slots,), self.sampling.temperature, _np.float32)
+        p = _np.full((self.max_slots,), self.sampling.top_p, _np.float32)
+        r = _np.full((self.max_slots,), self.sampling.repetition_penalty,
+                     _np.float32)
+        for s_ in self._slots:
+            if s_ is not None and s_.request.sampling is not None:
+                sp = s_.request.sampling
+                t[s_.slot] = sp.temperature
+                p[s_.slot] = sp.top_p
+                r[s_.slot] = sp.repetition_penalty
+        return {"temperature": jnp.asarray(t), "top_p": jnp.asarray(p),
+                "repetition_penalty": jnp.asarray(r)}
+
     # ------------------------------------------------------------------
     def _try_admit(self) -> bool:
         """Admit one pending request if a slot + worst-case pages are free."""
@@ -426,7 +445,7 @@ class ContinuousBatchingEngine:
                                       100_000 + self._step_count)
             nxt, self.cache = fn(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-                jnp.asarray(tables), rkey, self._sp_dyn(sp),
+                jnp.asarray(tables), rkey, self._sp_dyn_rows(),
             )
             self._step_count += 1
             nxt_np = np.asarray(nxt)  # value fetch = true sync

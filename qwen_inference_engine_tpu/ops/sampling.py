@@ -43,6 +43,9 @@ class SamplingParams:
     the intended serving configuration (tests use exact).
     """
 
+    # temperature/top_p/repetition_penalty are data fields and may be
+    # PER-ROW [B] arrays (continuous batching:each slot its own request
+    # params); top_k/greedy/approx are static per compiled step
     temperature: float = 0.7
     top_p: float = 1.0
     repetition_penalty: float = 1.0
@@ -80,6 +83,7 @@ def sample(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(jnp.asarray(params.temperature, jnp.float32), 1e-6)
+    temp = jnp.broadcast_to(temp, logits.shape[:1])[:, None]
     logits = logits / temp
 
     if params.top_k and params.top_k > 0:
@@ -104,8 +108,9 @@ def sample(
 
 def _mask_top_p(sorted_logits: jax.Array, top_p) -> jax.Array:
     """Mask (to -inf) the tail of descending-sorted logits beyond cumulative
-    probability ``top_p``. The top-1 token is always kept."""
+    probability ``top_p`` (scalar or per-row [B]). Top-1 always kept."""
     top_p = jnp.asarray(top_p, jnp.float32)
+    top_p = jnp.broadcast_to(top_p, sorted_logits.shape[:-1])[..., None]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # keep tokens whose *preceding* cumulative mass is < top_p

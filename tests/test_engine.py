@@ -252,3 +252,25 @@ def test_scheduler_cancel_and_timeout():
     assert not cb.has_work()
     assert len(cb._free_pages) == free0  # all pages returned
     assert cb.cancel(99) is False
+
+
+def test_per_request_sampling_in_decode():
+    """Each slot decodes with its OWN request's temperature: a near-zero-
+    temperature request in a mixed batch must reproduce the solo greedy
+    output even while its neighbor samples hot."""
+    prompt = [5, 9, 17, 3]
+    expect = _manual_greedy(prompt, 6)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16,
+        sampling=SamplingParams(temperature=1.0, top_k=50), kv_dtype=jnp.float32,
+    )
+    cold = SamplingParams(temperature=1e-6, top_k=1)
+    hot = SamplingParams(temperature=5.0, top_k=50)
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=6,
+                      sampling=cold))
+    cb.submit(Request(request_id=1, prompt=[7, 8, 9], max_new_tokens=6,
+                      sampling=hot))
+    by_id = {f.request_id: f for f in cb.run_to_completion()}
+    got = by_id[0].token_ids
+    assert got[: len(expect)] == expect, (got, expect)
