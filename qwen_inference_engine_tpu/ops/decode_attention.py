@@ -264,7 +264,7 @@ def _decode_attention(lens, layer, q8, k_cache, v_cache, *, scale):
     bs = _pick_block_s(S)
     # rows per cell: halves the per-grid-cell fixed cost; VMEM-capped
     rpc = 2 if (B % 2 == 0 and 2 * 2 * Hk * bs * D * k_cache.dtype.itemsize
-                * 2 <= 10 * 1024 * 1024) else 1
+                * 2 <= 13 * 1024 * 1024) else 1
     in_specs, out_spec = _specs(G8, D, bs, Hk, quant=False, rpc=rpc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -622,7 +622,7 @@ def _decode_attention_append(pos, layer, q8, k_cache, v_cache, kn, vn, *,
     S = k_cache.shape[3]
     bs = _pick_block_s(S)
     rpc = 2 if (B % 2 == 0 and 2 * 2 * Hk * bs * D * k_cache.dtype.itemsize
-                * 2 <= 10 * 1024 * 1024) else 1
+                * 2 <= 13 * 1024 * 1024) else 1
     n_rb = B // rpc
 
     def kv_index(bb, sb, pos_ref, layer_ref):

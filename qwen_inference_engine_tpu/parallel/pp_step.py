@@ -7,17 +7,20 @@ only layers [s·L/S, (s+1)·L/S) — the memory-scaling axis for models too
 large for one device even after TP, at 1/S of the weight+KV HBM per
 device.
 
-Execution (SPMD — every device runs the same program): the forward walks
-``S`` hops; at hop ``h`` the residual stream is meaningful on stage
-``h``, which runs its local layer scan and ``ppermute``s the stream to
-stage ``h+1``; the other stages execute the same local forward on
-don't-care data in the same wall-clock slot they would otherwise spend
-idle (a sequential pipeline's bubble), and a masked select commits only
-the active stage's KV-cache writes. Wall time therefore equals the
-unsharded forward plus S permute hops. Interleaving M microbatches so
-the bubbles carry real work (1F1B rotation) is the throughput extension
-tracked in docs/ROADMAP.md; this v1 is the memory-scaling + correctness
-demonstration the virtual mesh can validate.
+Two execution modes (SPMD — every device runs the same program):
+
+* ``make_pp_forward_fn`` — sequential single-stream forward: at hop
+  ``h`` the residual stream is meaningful on stage ``h``, which runs its
+  local layer scan and ``ppermute``s the stream onward; a masked select
+  commits only the active stage's KV writes. Wall time = unsharded
+  forward + S permute hops (the other stages compute don't-care data in
+  the slots a sequential pipeline leaves as bubbles).
+* ``make_pp_decode_1f1b`` — microbatched decode with M == S microbatches
+  rotating through the ring: after an S-tick warmup every tick completes
+  one token somewhere (zero steady-state bubbles); stage s works on
+  microbatch (t-s) mod M at step (t-s)//M, and the completed stream
+  arrives back at stage 0 exactly when that microbatch's next token must
+  start. Greedy-exact vs the single-device decode (tested).
 
 The reference has no multi-device execution of any kind (SURVEY §2c).
 """
@@ -170,3 +173,99 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
         out_specs=(P(), cspec),
         check_vma=False,
     )
+
+
+# ----------------------------------------------------------------------
+# 1F1B microbatched pipeline DECODE: with M == stages microbatches, the
+# warmup fills the pipeline in S ticks and then every tick completes one
+# token somewhere — zero bubbles in steady state. Stage s processes
+# microbatch (t - s) mod M at tick t; the completed stream arrives back
+# at stage 0 exactly when that microbatch's next token must start, so
+# sampling feeds the ring without a stall. Greedy-only v1; per-tick cache
+# row windows are dynamic-sliced (the zero-copy variant needs the row
+# offset in the kernels' scalar prefetch — ROADMAP).
+# ----------------------------------------------------------------------
+
+def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
+                        cache: KVCache, *, microbatch_rows: int,
+                        steps: int, use_pallas: bool = False):
+    """Returns ``fn(params, init_toks [M, b], init_pos [M], cache) ->
+    (tokens [steps, M, b] int32, cache)`` — greedy decode of ``steps``
+    tokens for every microbatch, pipelined across the stages."""
+    stages = mesh.shape[STAGE_AXIS]
+    M = stages
+    b = microbatch_rows
+    assert supports_pp(cfg, params, stages)
+    assert cache.k_scale is None
+    assert cache.k.shape[1] == M * b, (cache.k.shape, M, b)
+    cfg_l = cfg.replace(num_layers=cfg.num_layers // stages)
+    pspec = pp_param_pspecs(params)
+    cspec = pp_cache_pspec(cache)
+    fwd = [(s, (s + 1) % stages) for s in range(stages)]
+    n_ticks = stages + steps * M
+    from qwen_inference_engine_tpu.ops.norms import rms_norm
+
+    def body(params_l, init_toks, init_pos, cache_l):
+        sid = jax.lax.axis_index(STAGE_AXIS)
+        D = cfg.hidden_size
+
+        def tick(carry, t):
+            x, kc, vc = carry
+            m0 = jnp.mod(t, M)  # stage 0's microbatch (= (t - S) mod M)
+
+            # ---- stage 0: finish the arriving stream, start the next ----
+            xf = rms_norm(x, params_l["final_norm"], cfg.rms_norm_eps)
+            logits = compute_logits(params_l, xf[:, 0], use_pallas)
+            sampled = jnp.argmax(logits, -1).astype(jnp.int32)   # [b]
+            tok = jnp.where(t < M,
+                            jax.lax.dynamic_index_in_dim(
+                                init_toks, m0, 0, keepdims=False),
+                            sampled)
+            emitted = jnp.where(t >= stages, sampled, -1)
+            x0 = jnp.take(params_l["embed"], tok, axis=0)[:, None, :]
+            x_in = jnp.where(sid == 0, x0, x)
+
+            # ---- all stages: local layers; stage s is working on
+            # microbatch (t - s) mod M at its step (t - s) // M (clamped:
+            # warmup ticks write garbage at the step-0 position, which the
+            # real step-0 pass overwrites before anything reads it) ----
+            m_s = jnp.mod(t - sid, M)
+            k_s = jnp.maximum((t - sid) // M, 0)
+            p_m = jax.lax.dynamic_index_in_dim(
+                init_pos.astype(jnp.int32), m_s, 0, keepdims=False) + k_s
+            positions = jnp.broadcast_to(p_m, (b,))[:, None]
+            row0 = m_s * b
+            kc_m = jax.lax.dynamic_slice_in_dim(kc, row0, b, axis=1)
+            vc_m = jax.lax.dynamic_slice_in_dim(vc, row0, b, axis=1)
+            toks_m = jnp.zeros((b, 1), jnp.int32)  # unused (inputs_embeds)
+            hidden, lc2 = forward_hidden(
+                params_l, cfg_l, toks_m, positions, KVCache(k=kc_m, v=vc_m),
+                fresh_prefill=False, use_pallas=use_pallas,
+                uniform_decode=True, inputs_embeds=x_in,
+                apply_final_norm=False)
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, lc2.k, row0, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, lc2.v, row0, axis=1)
+            x = jax.lax.ppermute(hidden.astype(x.dtype), STAGE_AXIS, fwd)
+            return (x, kc, vc), emitted
+
+        x0 = jnp.zeros((b, 1, D), params_l["embed"].dtype)
+        (x, kc, vc), ys = jax.lax.scan(
+            tick, (x0, cache_l.k, cache_l.v), jnp.arange(n_ticks))
+        # ys are only meaningful on stage 0: replicate them
+        ys = jax.lax.psum(jnp.where(sid == 0, ys, 0), STAGE_AXIS)
+        return ys, KVCache(k=kc, v=vc)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P(), P(), cspec),
+        out_specs=(P(), cspec),
+        check_vma=False,
+    )
+
+    def wrapped(params_s, init_toks, init_pos, cache_s):
+        ys, cache_s = fn(params_s, init_toks, init_pos, cache_s)
+        # tick S + k·M + m completed token k of microbatch m
+        idx = stages + jnp.arange(steps)[:, None] * M + jnp.arange(M)[None, :]
+        return ys[idx], cache_s
+
+    return wrapped

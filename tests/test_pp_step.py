@@ -63,3 +63,48 @@ def test_pp_prefill_and_decode_match_single_device(devices8):
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
+
+
+def test_pp_1f1b_decode_matches_single_device(devices8):
+    """Microbatched 1F1B pipeline decode: greedy tokens for every
+    microbatch must equal the single-device decode."""
+    from qwen_inference_engine_tpu.parallel.pp_step import (
+        make_pp_decode_1f1b,
+    )
+
+    stages, b, steps, T = 4, 2, 3, 6
+    mesh = make_pp_mesh(devices=devices8[:stages])
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    M = stages
+    B = M * b
+    rng = np.random.default_rng(7)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+
+    cache = KVCache.create(cfg.num_layers, B, 64, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    logits, cache = prefill(params, cfg, prompts, lens, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    # single-device reference continues from the prefill
+    ref_cache = jax.tree.map(lambda a: a, cache)
+    ref = [first]
+    tok = first
+    for s in range(steps):
+        l, ref_cache = decode_step(params, cfg, tok, lens + s, ref_cache,
+                                   uniform_decode=True)
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+        ref.append(tok)
+    ref = np.asarray(jnp.stack(ref[1:]))            # [steps, B]
+
+    from qwen_inference_engine_tpu.parallel.pp_step import shard_for_pp
+
+    params_s, cache_s = shard_for_pp(params, cache, mesh)
+    fn = make_pp_decode_1f1b(cfg, mesh, params, cache,
+                             microbatch_rows=b, steps=steps)
+    init_toks = first.reshape(M, b)
+    init_pos = jnp.full((M,), T, jnp.int32)         # uniform prompt length
+    toks, cache_s = fn(params_s, init_toks, init_pos, cache_s)
+    got = np.asarray(toks).reshape(steps, M * b)    # [steps, B]
+    np.testing.assert_array_equal(got, ref)
