@@ -127,7 +127,18 @@ def cmd_generate(args) -> int:
 
     t0 = time.perf_counter()
     with trace(args.profile):
-        res = eng.generate(prompt_ids, max_new_tokens=args.max_new_tokens)
+        if args.speculative:
+            ids_out = eng.generate_speculative(
+                prompt_ids, max_new_tokens=args.max_new_tokens, k=args.spec_k)
+            from qwen_inference_engine_tpu.engine.engine import (
+                GenerationResult,
+            )
+
+            res = GenerationResult(token_ids=ids_out, ttft_s=0.0,
+                                   decode_tokens_per_s=0.0,
+                                   steps=max(len(t) for t in ids_out))
+        else:
+            res = eng.generate(prompt_ids, max_new_tokens=args.max_new_tokens)
     dt = time.perf_counter() - t0
     for i, ids in enumerate(res.token_ids):
         print(f"--- sequence {i} ({len(ids)} tokens) ---")
@@ -170,6 +181,11 @@ def main(argv=None) -> int:
                    help="prompt text (repeatable for a batch)")
     g.add_argument("--chat", action="store_true", help="wrap in chat template")
     g.add_argument("--stats", action="store_true", help="dump metrics JSON")
+    g.add_argument("--speculative", action="store_true",
+                   help="greedy prompt-lookup speculative decoding "
+                        "(token-identical to --greedy, fewer forwards)")
+    g.add_argument("--spec-k", type=int, default=8,
+                   help="drafted tokens per speculation round")
     g.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("serve", help="HTTP server with continuous batching")

@@ -20,3 +20,11 @@ def test_cli_generate_tiny_quantized(capsys):
                "--max-seq", "64"])
     assert rc == 0
     assert "--- sequence 0" in capsys.readouterr().out
+
+
+def test_cli_generate_speculative(capsys):
+    rc = main(["generate", "--model", "tiny", "--f32", "--speculative",
+               "--prompt", "abab", "--max-new-tokens", "4",
+               "--max-seq", "128"])
+    assert rc == 0
+    assert "--- sequence 0" in capsys.readouterr().out
