@@ -274,3 +274,48 @@ def test_per_request_sampling_in_decode():
     by_id = {f.request_id: f for f in cb.run_to_completion()}
     got = by_id[0].token_ids
     assert got[: len(expect)] == expect, (got, expect)
+
+
+def test_scheduler_fuzz_invariants():
+    """Randomized admit/step/cancel churn: the page allocator must never
+    double-book, slots and tables must stay consistent, and every request
+    must terminate with a sane reason."""
+    rng = np.random.default_rng(123)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=3, page_size=4, num_pages=48,
+        max_pages_per_seq=12, sampling=GREEDY, kv_dtype=jnp.float32,
+        prefill_chunk=16,
+    )
+    submitted = 0
+    all_ids = []
+    for it in range(60):
+        action = rng.random()
+        if action < 0.5 and submitted < 18:
+            plen = int(rng.integers(1, 20))
+            cb.submit(Request(request_id=submitted,
+                              prompt=rng.integers(1, 400, plen).tolist(),
+                              max_new_tokens=int(rng.integers(1, 8))))
+            all_ids.append(submitted)
+            submitted += 1
+        elif action < 0.6 and all_ids:
+            cb.cancel(int(rng.choice(all_ids)))  # may already be finished
+        cb.step()
+        # invariant: live pages + free pages == pool (page 0 reserved)
+        live = [p for s in cb._slots if s is not None for p in s.pages]
+        assert len(set(live)) == len(live), "double-booked page"
+        assert set(live).isdisjoint(cb._free_pages), "page both live+free"
+        assert len(live) + len(cb._free_pages) == cb.num_pages - 1
+        # invariant: block tables of live slots point at owned pages
+        for s in cb._slots:
+            if s is None:
+                continue
+            row = cb._block_tables[s.slot]
+            assert set(row[row != 0]).issubset(set(s.pages))
+    finished = cb.run_to_completion()
+    seen = {f.request_id for f in finished}
+    assert seen.issubset(set(all_ids))
+    for f in finished:
+        assert f.finish_reason in ("eos", "length", "rejected", "cancelled",
+                                   "timeout")
+    assert not cb.has_work()
+    assert sorted(cb._free_pages) == list(range(1, cb.num_pages))
