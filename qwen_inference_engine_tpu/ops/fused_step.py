@@ -5,22 +5,29 @@ Why: a decode step at batch ≤128 is a serial chain per layer
 (qkv → attention → o/mlp), so its two dominant costs cannot overlap as
 separate ops — attention streams the KV cache (~HBM-bound, MXU idle) and
 the weight matmuls occupy the MXU (DMA mostly idle with INT4 weights).
-TPU executes ops serially and a pallas call's DMAs start with the op
-(measured: docs/PERF.md "known headroom"), so the ONLY way to run
-attention DMA under matmul MXU work is inside one kernel.
+TPU executes ops serially and a pallas call's DMAs start with the op,
+so the ONLY way to run attention DMA under matmul MXU work is inside one
+kernel. Double-pumped decode (models/qwen.py::decode_step_pumped) splits
+the batch into halves staggered by half a layer; with B > 128,
+``ceil(B/128) == 2·ceil(B/2/128)`` so the split adds no MXU passes.
 
-Double-pumped decode (models/qwen.py) splits the batch into two halves
-half a layer apart: `ceil(2·96/128) == 2·ceil(96/128)` MXU passes, so the
-split costs nothing, and half A's attention is independent of half B's
-MLP. This kernel interleaves the two work lists on ONE flat grid:
+Kernels here, in measured order of usefulness (docs/PERF.md round-2 log):
 
-    cell c: [maybe one attention (row-block, s-block) flash update (A)]
-            [maybe one matmul (n-tile, k-tile) INT4 mixed-dot + accum (B)]
-
-with `a_idx = c·na//C`, `m_idx = c·nm//C` (C = max(na, nm)) so both lists
-advance together; repeated indices cost no DMA and skip compute. Mosaic's
-automatic pipeline then prefetches the next cell's KV block while the
-current cell's matmul dots run on the MXU — the overlap.
+* ``fused_mlp`` — single-pass SwiGLU (gate/up/silu/down, intermediates
+  never touch HBM). Slightly faster than the 3-op path standalone; used
+  by the main forward whenever the weights' pad-free INT4 layout allows.
+* ``fused_attn_mlp`` — the production attention∥MLP kernel:
+  homogeneous MLP F-tile cells with the KV stream hand-pipelined through
+  a ``ring`` of VMEM slots (the automatic pipeline's one-cell lookahead
+  stalls on a heterogeneous mix — measured). The ring DOES hide the KV
+  DMA completely; the measured residual cost is the attention dots' MXU
+  passes (M = G8 = 8 → 94% pass waste, inherent to GQA decode), which is
+  why the pumped path's end-to-end win on v5e is capped — see PERF.md.
+  Kept live behind ``pumped_supported`` (B > 128) where chips with a
+  different pass:bandwidth ratio (v5p/v6e) can benefit.
+* ``fused_attn_matmul`` — the first prototype (auto-pipelined interleave
+  of attention blocks with one INT4 matmul); superseded by the manual
+  ring but kept with its oracle test as the measured ablation.
 
 Numerics are identical to ops/decode_attention.py (online softmax over
 S-blocks of the stacked head-major cache, layer picked via scalar
