@@ -1,13 +1,17 @@
-"""Prompt-lookup speculative decoding (greedy-exact, no draft model).
+"""Prompt-lookup speculative decoding (no draft model).
 
 Each iteration drafts ``k`` tokens by copying what followed the most
 recent earlier occurrence of the current ``ngram``-token suffix in the
 sequence's own history (prompt + generated — the "prompt lookup" draft,
 strong on extraction/summarization/code where output echoes input), then
-verifies all drafts in ONE forward of T=k+1 tokens. Greedy verification
-accepts the longest prefix of drafts that equals the model's own argmax
-chain, so the output is IDENTICAL to token-by-token greedy decoding —
-every iteration emits between 1 and k+1 tokens for one forward pass.
+verifies all drafts in ONE forward of T=k+1 tokens. Verification keeps
+the longest prefix of drafts equal to the model's own token chain —
+argmax for greedy, or a per-position categorical draw for stochastic
+sampling (with a DETERMINISTIC draft, emitting the sampled token at the
+first mismatch is distribution-exact: every emitted token is drawn from
+the model's distribution at its position). Output is therefore identical
+to token-by-token decoding under the same rng discipline; every
+iteration emits between 1 and k+1 tokens for one forward pass.
 
 Everything (draft matching, verification, acceptance, output scatter)
 runs inside one jitted step; the host polls completion every few
@@ -60,7 +64,8 @@ def pld_draft(history: jax.Array, lens: jax.Array, *, ngram: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "ngram",
-                                             "use_pallas"),
+                                             "use_pallas", "greedy",
+                                             "temperature"),
                    donate_argnums=(4,))
 def speculative_step(
     params: dict,
@@ -69,10 +74,13 @@ def speculative_step(
     lens: jax.Array,       # [B] valid history length (= next position)
     cache,
     done: jax.Array,       # [B] bool
+    rng: jax.Array = None,
     *,
     k: int,
     ngram: int,
     use_pallas: bool = True,
+    greedy: bool = True,
+    temperature: float = 0.7,
 ):
     """One speculation round. Returns (history', lens', cache, done',
     n_new [B]) where n_new tokens were appended per row (0 if done)."""
@@ -88,15 +96,28 @@ def speculative_step(
         params, cfg, tokens, positions, cache,
         fresh_prefill=False, use_pallas=use_pallas)
     logits = compute_logits(params, hidden, use_pallas)  # [B, k+1, V]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy:
+        chain = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        # one categorical draw per position (keys folded per position so
+        # the chain matches token-by-token sampling discipline)
+        t = jnp.maximum(temperature, 1e-6)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(k + 1))
 
-    # accept drafts while draft[i] == greedy[i-1]; then append greedy[a]
-    match = drafts == greedy[:, :-1]                     # [B, k]
+        def draw(key, lg):
+            return jax.random.categorical(key, lg / t, axis=-1)
+
+        chain = jax.vmap(draw, in_axes=(0, 1), out_axes=1)(
+            keys, logits.astype(jnp.float32)).astype(jnp.int32)
+
+    # accept drafts while draft[i] == chain[i-1]; then append chain[a]
+    match = drafts == chain[:, :-1]                      # [B, k]
     acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
     a = jnp.sum(acc, axis=1)                             # accepted drafts
     # emitted tokens this round: greedy[0..a] (a+1 of them)
     emit = jnp.where(jnp.arange(k + 1)[None, :] <= a[:, None],
-                     greedy, 0)
+                     chain, 0)
     # stop at the first EOS inside the emitted run
     is_eos = jnp.any(emit[:, :, None] == eos[None, None, :], axis=-1) & \
         (jnp.arange(k + 1)[None, :] <= a[:, None])

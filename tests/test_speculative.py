@@ -83,3 +83,34 @@ def test_speculative_accepts_on_repetitive_prompt():
                                max_new_tokens=n, k=6, ngram=3)
     want = _plain_greedy(prompt, n)
     assert got[0][: len(want)] == want
+
+
+def test_speculative_step_stochastic_runs():
+    """Stochastic verification: one round with temperature sampling must
+    emit 1..k+1 tokens per live row and keep history/lens consistent."""
+    from qwen_inference_engine_tpu.engine.speculative import speculative_step
+
+    B, S, k = 2, 128, 4
+    cache = KVCache.create(CFG.num_layers, B, S, CFG.num_kv_heads,
+                           CFG.head_dim, dtype=jnp.float32)
+    prompts = [[5, 9, 17, 3], [7, 8, 9, 10]]
+    hist = np.zeros((B, S), np.int32)
+    for i, p in enumerate(prompts):
+        hist[i, : len(p)] = p
+    lens = jnp.asarray([4, 4], jnp.int32)
+    logits, cache = prefill(PARAMS, CFG, jnp.asarray(hist[:, :4]), lens,
+                            cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    history = jnp.asarray(hist).at[jnp.arange(B), lens].set(first)
+    lens = lens + 1
+
+    h2, l2, cache, done, n_new = speculative_step(
+        PARAMS, CFG, history, lens, cache, jnp.zeros((B,), bool),
+        jax.random.PRNGKey(3), k=k, ngram=2, greedy=False, temperature=0.9)
+    n = np.asarray(n_new)
+    assert ((1 <= n) & (n <= k + 1)).all()
+    assert (np.asarray(l2) == np.asarray(lens) + n).all()
+    # emitted tokens are in-vocab
+    for i in range(B):
+        row = np.asarray(h2)[i, int(lens[i]): int(l2[i])]
+        assert ((0 <= row) & (row < CFG.vocab_size)).all()
