@@ -75,6 +75,13 @@ def config3():
         max_pages_per_seq=48,
         sampling=SamplingParams(temperature=0.7, top_k=50), seed=0)
     rng = np.random.default_rng(0)
+    # warm the jit caches so the timed phase measures steady-state serving
+    cb.submit(Request(request_id=999, max_new_tokens=10,
+                      prompt=rng.integers(1, cfg.vocab_size, 256).tolist()))
+    cb.run_to_completion()
+    from qwen_inference_engine_tpu.utils.metrics import Metrics
+
+    cb.metrics = Metrics()
     t0 = time.perf_counter()
     for i in range(16):
         cb.submit(Request(request_id=i,
@@ -83,8 +90,8 @@ def config3():
     done = cb.run_to_completion()
     dt = time.perf_counter() - t0
     toks = sum(len(f.token_ids) for f in done)
-    print(f"[config 3] qwen2.5-7b INT4 paged batch-16: {len(done)} requests, "
-          f"{toks} tokens in {dt:.1f}s incl compile; engine metrics "
+    print(f"[config 3] qwen2.5-7b INT4 paged batch-16 (warm): {len(done)} "
+          f"requests, {toks} tokens in {dt:.1f}s; engine metrics "
           f"{cb.metrics.snapshot()}", flush=True)
 
 
