@@ -1,10 +1,11 @@
-"""Tensor-parallel wrappers for the Pallas quant matmul (shard_map).
+"""Per-projection tensor-parallel wrappers for the Pallas quant matmul.
 
-Pallas custom calls are not GSPMD-partitionable, so under a multi-device
-mesh the engines currently fall back to partitionable XLA paths
-(engine/engine.py). This module is the kernel-speed TP path: the quant
-matmul runs per-shard inside ``jax.shard_map`` with the standard Megatron
-sharding —
+STATUS: superseded as the engine path by ``parallel/tp_step.py``, which
+runs the ENTIRE step inside one ``jax.shard_map`` (these wrappers would
+re-enter shard_map per projection). They remain as the minimal,
+separately-testable building blocks — with hard guards against the
+padded-K/group-misalignment hazards a naive row split hits (see
+quant_matmul_tp_row) — and as the reference for the sharding algebra:
 
 * **column parallel** (q/k/v/gate/up): weights sharded on the OUTPUT axis,
   activations replicated, output sharded — no collective;
