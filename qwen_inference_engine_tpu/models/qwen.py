@@ -355,6 +355,7 @@ def forward_hidden(
     use_flash = False
     use_paged_kernel = False
     use_contig_kernel = False
+    use_chunk_kernel = False
     if want_kernels:
         from qwen_inference_engine_tpu.ops.flash_attention import (
             flash_attention_supported,
@@ -375,6 +376,15 @@ def forward_hidden(
 
             use_contig_kernel = decode_attention_supported(
                 Dh, cache.k.shape[3], Hq, Hk)
+        elif not paged and T > 1 and uniform_decode and not cache.quantized:
+            # chunked-prefill continuation: flash over the cache prefix
+            # (the XLA path's [B,Hk,G,T,S] score block capped chunk sizes)
+            from qwen_inference_engine_tpu.ops.chunk_attention import (
+                chunk_attention_supported,
+            )
+
+            use_chunk_kernel = chunk_attention_supported(
+                Dh, T, Hq, Hk, cache.k.shape[3])
     use_mlp_kernel = False
     if want_kernels and not cfg.is_moe and "gate" in params["layers"]:
         from qwen_inference_engine_tpu.ops.fused_step import (
@@ -557,6 +567,13 @@ def forward_hidden(
                 attn = paged_decode_attention_stacked(
                     q, cache_c["k"], cache_c["v"], block_tables,
                     positions[:, 0] + 1, page_size, l)
+        elif use_chunk_kernel:
+            from qwen_inference_engine_tpu.ops.chunk_attention import (
+                chunk_attention_contiguous,
+            )
+
+            attn = chunk_attention_contiguous(
+                q, cache_c["k"], cache_c["v"], l, positions[0, 0])
         else:
             # post-write layer slice; the dynamic-slice read fuses into the
             # attention consumer (no standalone copy of the layer cache).

@@ -380,3 +380,60 @@ def test_paged_append_ragged_matches_scatter():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(vp2[:, 1:]), np.asarray(vp_ref[:, 1:]),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,start", [(16, 32), (32, 0), (8, 120)])
+def test_chunk_attention_matches_oracle(T, start):
+    """Continuation-chunk flash kernel vs the einsum oracle: causal by
+    absolute position over the cache prefix."""
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+
+    L, B, Hk, G, D, S = 2, 3, 2, 4, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(23)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    layer = 1
+
+    assert ca.chunk_attention_supported(D, T, Hq, Hk, S)
+    with interpret_pallas(ca):
+        got = ca.chunk_attention_contiguous(q, kc, vc, layer, start)
+
+    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+    oracle = gqa_attention_kmajor(q, kc[layer], vc[layer], positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=4e-3, atol=4e-3)
+
+
+def test_chunked_prefill_with_chunk_kernel_matches_xla():
+    """prefill_chunked with the continuation-chunk flash kernel (forced
+    via attn_impl='pallas', interpret mode) must match the XLA path."""
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+    import qwen_inference_engine_tpu.ops.flash_attention as fa
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import init_params, prefill_chunked
+
+    cfg = tiny_config(num_heads=4, num_kv_heads=2, head_dim=128,
+                      hidden_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    B, T = 2, 96
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.asarray([T, T - 10], jnp.int32)
+
+    cache1 = KVCache.create(cfg.num_layers, B, 128, cfg.num_kv_heads,
+                            cfg.head_dim, dtype=jnp.float32)
+    ref, _ = prefill_chunked(params, cfg, toks, lens, cache1, chunk=32,
+                             attn_impl="xla")
+
+    cache2 = KVCache.create(cfg.num_layers, B, 128, cfg.num_kv_heads,
+                            cfg.head_dim, dtype=jnp.float32)
+    with interpret_pallas(ca), interpret_pallas(fa):
+        got, _ = prefill_chunked(params, cfg, toks, lens, cache2, chunk=32,
+                                 attn_impl="pallas")
+    # kernels use bf16 MXU dots (pv / scores) vs the f32 einsum path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
