@@ -402,11 +402,21 @@ class ContinuousBatchingEngine:
         self._slots[run.slot] = None
 
     # ------------------------------------------------------------------
+    def _drain_finished(self) -> List[FinishedRequest]:
+        """Hand off (and clear) everything finished but not yet collected.
+
+        step/step_batch/run_to_completion all return via this, so each
+        completion is delivered EXACTLY ONCE no matter how the caller mixes
+        incremental polling with a final drain — and completions recorded
+        between ticks (e.g. cancel() from the server thread) are never
+        silently dropped by a this-tick-only slice."""
+        out, self._finished = self._finished, []
+        return out
+
     def step(self) -> List[FinishedRequest]:
         """One scheduler tick: admit what fits, advance at most one prefill
         chunk (all chunks if nothing is decoding), then one decode step for
-        all active slots. Returns requests that finished this tick."""
-        before = len(self._finished)
+        all active slots. Returns every completion not yet collected."""
         self._expire_deadlines()
         while self._try_admit():
             pass
@@ -465,7 +475,7 @@ class ContinuousBatchingEngine:
                     self._finish(s, "eos")
                 elif len(s.generated) >= s.request.max_new_tokens:
                     self._finish(s, "length")
-        return self._finished[before:]
+        return self._drain_finished()
 
     def step_batch(self, n: int = 8) -> List[FinishedRequest]:
         """Up to ``n`` decode ticks with ONE host sync.
@@ -485,11 +495,10 @@ class ContinuousBatchingEngine:
                        and any(s is not None for s in self._slots))
         if not pure_decode or n <= 1:
             return self.step()
-        before = len(self._finished)
         self._expire_deadlines()
         decoding = [s for s in self._slots if s is not None]
         if not decoding:
-            return self._finished[before:]
+            return self._drain_finished()
         # cap by the tightest remaining token budget so no row overshoots
         n = max(1, min([n] + [s.request.max_new_tokens - len(s.generated)
                               for s in decoding]))
@@ -535,11 +544,14 @@ class ContinuousBatchingEngine:
                 if len(s.generated) >= s.request.max_new_tokens:
                     self._finish(s, "length")
                     break
-        return self._finished[before:]
+        return self._drain_finished()
 
     def run_to_completion(self, sync_every: int = 8) -> List[FinishedRequest]:
-        """Drain all pending + active requests; returns everything finished."""
+        """Drain all pending + active requests. Returns only completions
+        not already handed out by earlier step()/step_batch() calls, so
+        polling incrementally and then draining never double-counts."""
+        out: List[FinishedRequest] = []
         while self.has_work():
-            self.step_batch(sync_every)
-        out, self._finished = self._finished, []
+            out.extend(self.step_batch(sync_every))
+        out.extend(self._drain_finished())
         return out

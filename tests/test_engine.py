@@ -181,15 +181,14 @@ def test_chunked_prefill_across_ticks_matches_manual():
         prefill_chunk=16,
     )
     cb.submit(Request(request_id=0, prompt=short, max_new_tokens=8))
-    cb.step()  # short request prefilled + first decode
+    done = cb.step()  # short request prefilled + first decode
     cb.submit(Request(request_id=1, prompt=long, max_new_tokens=6))
     ticks = 0
     while cb.has_work():
-        cb.step()
+        done += cb.step()  # step() drains: collect as we go
         ticks += 1
         assert ticks < 64
-    by_id = {f.request_id: f for f in cb.run_to_completion() + cb._finished}
-    # note: run_to_completion drained already; collect from both calls
+    by_id = {f.request_id: f for f in done + cb.run_to_completion()}
     assert not cb.has_work()
     for rid, prompt, n in ((0, short, 8), (1, long, 6)):
         expect = _manual_greedy(prompt, n)
@@ -244,9 +243,9 @@ def test_scheduler_cancel_and_timeout():
     cb.submit(Request(request_id=0, prompt=[5, 6, 7], max_new_tokens=50))
     cb.submit(Request(request_id=1, prompt=[8, 9], max_new_tokens=50,
                       timeout_s=0.0))  # expires on the first tick
-    cb.step()  # admits + prefills + first decode
+    done = cb.step()  # admits + prefills + first decode; drains #1's timeout
     assert cb.cancel(0)
-    out = {f.request_id: f for f in cb.run_to_completion()}
+    out = {f.request_id: f for f in done + cb.run_to_completion()}
     assert out[0].finish_reason == "cancelled"
     assert out[1].finish_reason == "timeout"
     assert not cb.has_work()
@@ -278,8 +277,11 @@ def test_per_request_sampling_in_decode():
 
 def test_scheduler_fuzz_invariants():
     """Randomized admit/step/cancel churn: the page allocator must never
-    double-book, slots and tables must stay consistent, and every request
-    must terminate with a sane reason."""
+    double-book, slots and tables must stay consistent, every request
+    must terminate with a sane reason, and mixing incremental step()
+    collection with a final run_to_completion() must deliver each
+    completion EXACTLY once (step used to return a this-tick slice
+    without draining, so run_to_completion returned everything again)."""
     rng = np.random.default_rng(123)
     cb = ContinuousBatchingEngine(
         CFG, PARAMS, max_slots=3, page_size=4, num_pages=48,
@@ -288,6 +290,7 @@ def test_scheduler_fuzz_invariants():
     )
     submitted = 0
     all_ids = []
+    finished = []
     for it in range(60):
         action = rng.random()
         if action < 0.5 and submitted < 18:
@@ -299,7 +302,7 @@ def test_scheduler_fuzz_invariants():
             submitted += 1
         elif action < 0.6 and all_ids:
             cb.cancel(int(rng.choice(all_ids)))  # may already be finished
-        cb.step()
+        finished += cb.step()
         # invariant: live pages + free pages == pool (page 0 reserved)
         live = [p for s in cb._slots if s is not None for p in s.pages]
         assert len(set(live)) == len(live), "double-booked page"
@@ -311,9 +314,10 @@ def test_scheduler_fuzz_invariants():
                 continue
             row = cb._block_tables[s.slot]
             assert set(row[row != 0]).issubset(set(s.pages))
-    finished = cb.run_to_completion()
-    seen = {f.request_id for f in finished}
-    assert seen.issubset(set(all_ids))
+    finished += cb.run_to_completion()
+    ids = [f.request_id for f in finished]
+    assert len(set(ids)) == len(ids), "completion delivered twice"
+    assert set(ids) == set(all_ids), "request lost or never terminated"
     for f in finished:
         assert f.finish_reason in ("eos", "length", "rejected", "cancelled",
                                    "timeout")
