@@ -20,7 +20,14 @@ module supplies the real mechanics, TPU-style:
   fused decode step across all active slots per tick — mixed
   prefill+decode continuous batching;
 * EOS / max-token completion frees pages + slot immediately, and the next
-  pending request is admitted on the same tick.
+  pending request is admitted on the same tick;
+* **automatic prefix caching**: completed requests register their full
+  KV pages (prompt AND generated tokens) under a position-chained content
+  hash; later prompts sharing the prefix pin those pages read-only via
+  refcounts and prefill only the tail. Ref-0 cached pages park in an LRU
+  pool the allocator evicts from only under pressure — a shared system
+  prompt or a multi-turn follow-up costs one chunk of prefill, not the
+  whole conversation.
 """
 
 from __future__ import annotations
@@ -68,6 +75,7 @@ class _Running:
     last_token: int = 0
     t_submit: float = 0.0
     prefilled: int = 0                # prompt tokens already in cache
+    cached_prefix: int = 0            # leading pages[i] shared via prefix cache
 
     @property
     def prefill_done(self) -> bool:
@@ -105,6 +113,7 @@ class ContinuousBatchingEngine:
         use_pallas: bool = True,
         prefill_chunk: int = 256,
         on_token=None,
+        prefix_cache: bool = True,
     ):
         self.cfg = cfg
         self.params = params
@@ -145,6 +154,22 @@ class ContinuousBatchingEngine:
         self.cache = make_sharded_cache(cache, mesh)
         # page 0 is the scratch page for inactive slots / unallocated entries
         self._free_pages: List[int] = list(range(num_pages - 1, 0, -1))
+        # ---- automatic prefix caching (page-granular, vLLM-style) ----
+        # A full page whose token content (hash-CHAINED from position 0, so
+        # equal hashes imply equal whole-prefix content) is known gets
+        # registered on request completion; a later request whose prompt
+        # starts with the same token pages shares those pages read-only and
+        # prefills only the tail. Works because a page's KV depends only on
+        # the token prefix (positions are absolute from 0) — sampling params
+        # don't enter the cache. Refcounted: a registered page with live
+        # references is pinned; at ref 0 it parks in an LRU pool that the
+        # allocator evicts from only when the free list runs dry.
+        self.prefix_cache = prefix_cache
+        self._page_refs: Dict[int, int] = {}
+        self._prefix_index: Dict[int, tuple] = {}   # hash -> (page, parent, blk)
+        self._page_hash: Dict[int, int] = {}        # registered page -> hash
+        from collections import OrderedDict
+        self._cached_free: "OrderedDict[int, int]" = OrderedDict()  # page->hash
         self._block_tables = np.zeros((max_slots, max_pages_per_seq), np.int32)
         self._seq_lens = np.zeros((max_slots,), np.int32)
         self._slots: List[Optional[_Running]] = [None] * max_slots
@@ -318,6 +343,99 @@ class ContinuousBatchingEngine:
         return {"temperature": jnp.asarray(t), "top_p": jnp.asarray(p),
                 "repetition_penalty": jnp.asarray(r)}
 
+    # ---------------- prefix-cache page accounting --------------------
+    def _alloc_page(self) -> int:
+        """Pop a content-free page, evicting the LRU ref-0 cached page only
+        when the free list is dry (a registered prefix stays reusable for
+        as long as the pool isn't needed for live work)."""
+        if self._free_pages:
+            return self._free_pages.pop()
+        page, h = self._cached_free.popitem(last=False)
+        del self._prefix_index[h]
+        del self._page_hash[page]
+        return page
+
+    def _page_budget(self) -> int:
+        return len(self._free_pages) + len(self._cached_free)
+
+    def _release_page(self, page: int) -> None:
+        self._page_refs[page] = self._page_refs.get(page, 1) - 1
+        if self._page_refs[page] > 0:
+            return
+        del self._page_refs[page]
+        h = self._page_hash.get(page)
+        if h is not None:
+            self._cached_free[page] = h     # parked, evictable LRU
+        else:
+            self._free_pages.append(page)
+
+    def _prefix_lookup(self, prompt: List[int]) -> List[int]:
+        """Longest chain of registered pages matching the prompt's leading
+        full pages. Capped at prompt-1 tokens so at least one token always
+        runs through prefill (the last-token logits must be computed)."""
+        ps = self.page_size
+        hits: List[int] = []
+        parent = None
+        for i in range((len(prompt) - 1) // ps):
+            blk = tuple(prompt[i * ps: (i + 1) * ps])
+            h = hash((parent, blk))
+            entry = self._prefix_index.get(h)
+            # verify parent+content: equal chain hash then implies equal
+            # whole-prefix content by induction (no silent collision sharing)
+            if entry is None or entry[1:] != (parent, blk):
+                break
+            hits.append(entry[0])
+            parent = h
+        return hits
+
+    def _register_pages(self, run: _Running) -> None:
+        """On completion, register this run's full-content pages so future
+        prompts sharing the prefix (incl. its GENERATED tokens — the
+        multi-turn chat pattern) skip their prefill."""
+        ps = self.page_size
+        # KV actually written: all prefilled prompt tokens, plus one token
+        # per decode step (the final sampled token's KV is never written)
+        written = run.seq_len if run.prefill_done else run.prefilled
+        tokens = run.request.prompt + run.generated
+        n_full = min(written // ps, len(run.pages))
+        parent = None
+        for i in range(n_full):
+            page = run.pages[i]
+            if page in self._page_hash:          # shared hit: already indexed
+                parent = self._page_hash[page]
+                continue
+            blk = tuple(tokens[i * ps: (i + 1) * ps])
+            h = hash((parent, blk))
+            if h not in self._prefix_index:      # first writer wins
+                self._prefix_index[h] = (page, parent, blk)
+                self._page_hash[page] = h
+            parent = h
+
+    def check_page_invariants(self) -> None:
+        """Page-pool conservation (debug/test aid): every page but scratch 0
+        is exactly one of free / cached-free / live, live refcounts match
+        the number of referencing runs, pages shared across runs are
+        registered prefix pages, and block tables only point at owned
+        pages. Raises AssertionError on violation."""
+        refs: Dict[int, int] = {}
+        for s in self._slots:
+            if s is None:
+                continue
+            for p in s.pages:
+                refs[p] = refs.get(p, 0) + 1
+            row = self._block_tables[s.slot]
+            assert set(row[row != 0]).issubset(set(s.pages))
+        free, cached, live = (set(self._free_pages), set(self._cached_free),
+                              set(refs))
+        assert len(free) == len(self._free_pages), "free-list duplicate"
+        assert not (free & cached) and not (free & live) and not (cached & live)
+        assert free | cached | live == set(range(1, self.num_pages))
+        if self.prefix_cache:
+            assert refs == self._page_refs, (refs, self._page_refs)
+        for p, n in refs.items():
+            if n > 1:
+                assert p in self._page_hash, f"unregistered page {p} shared"
+
     # ------------------------------------------------------------------
     def _try_admit(self) -> bool:
         """Admit one pending request if a slot + worst-case pages are free."""
@@ -337,12 +455,25 @@ class ContinuousBatchingEngine:
             self._pending.popleft()
             self._finished.append(FinishedRequest(req.request_id, [], "rejected"))
             return True
-        if need > len(self._free_pages):
+        hits = self._prefix_lookup(req.prompt) if self.prefix_cache else []
+        if need - len(hits) > self._page_budget():
             return False  # admission control: not enough KV budget yet
         self._pending.popleft()
-        pages = [self._free_pages.pop() for _ in range(need)]
+        # pin the hits FIRST (a revived page must not be eviction fodder for
+        # this same request's fresh allocations)
+        for p in hits:
+            self._cached_free.pop(p, None)
+            self._page_refs[p] = self._page_refs.get(p, 0) + 1
+        fresh = [self._alloc_page() for _ in range(need - len(hits))]
+        for p in fresh:
+            self._page_refs[p] = 1
+        pages = hits + fresh
+        cached_len = len(hits) * self.page_size
+        if cached_len:
+            self.metrics.observe_prefix_hit(cached_len)
         run = _Running(request=req, slot=free_slot, pages=pages,
-                       seq_len=len(req.prompt), t_submit=time.perf_counter())
+                       seq_len=len(req.prompt), t_submit=time.perf_counter(),
+                       prefilled=cached_len, cached_prefix=len(hits))
         self._slots[free_slot] = run
         row = np.zeros((self.max_pages_per_seq,), np.int32)
         row[: len(pages)] = pages
@@ -396,7 +527,12 @@ class ContinuousBatchingEngine:
         self._finished.append(
             FinishedRequest(run.request.request_id, run.generated, reason)
         )
-        self._free_pages.extend(run.pages)
+        if self.prefix_cache:
+            self._register_pages(run)
+            for p in run.pages:
+                self._release_page(p)
+        else:
+            self._free_pages.extend(run.pages)
         self._block_tables[run.slot] = 0
         self._seq_lens[run.slot] = 0
         self._slots[run.slot] = None

@@ -20,6 +20,7 @@ class Metrics:
         self._decode_tokens = 0
         self._decode_time = 0.0
         self._prefill_tokens = 0
+        self._prefix_hit_tokens = 0
         self._requests = 0
 
     def observe_ttft(self, seconds: float) -> None:
@@ -35,6 +36,11 @@ class Metrics:
     def observe_prefill(self, tokens: int) -> None:
         with self._lock:
             self._prefill_tokens += tokens
+
+    def observe_prefix_hit(self, tokens: int) -> None:
+        """Prompt tokens served from the prefix cache (no forward run)."""
+        with self._lock:
+            self._prefix_hit_tokens += tokens
 
     @staticmethod
     def _pct(sorted_vals: List[float], q: float) -> float:
@@ -57,4 +63,5 @@ class Metrics:
                     if self._decode_time > 0 else 0.0
                 ),
                 "prefill_tokens": self._prefill_tokens,
+                "prefix_hit_tokens": self._prefix_hit_tokens,
             }

@@ -104,8 +104,9 @@ def test_continuous_batching_admission_control():
     assert sorted(f.request_id for f in finished) == list(range(5))
     for f in finished:
         assert len(f.token_ids) >= 1
-    # all pages returned to the free list (page 0 reserved)
-    assert sorted(cb._free_pages) == list(range(1, 16))
+    # all pages returned to the pool: free or parked in the prefix cache
+    assert sorted(cb._free_pages + list(cb._cached_free)) == list(range(1, 16))
+    cb.check_page_invariants()
 
 
 def test_continuous_batching_rejects_oversized():
@@ -239,7 +240,7 @@ def test_scheduler_cancel_and_timeout():
         CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
         max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
     )
-    free0 = len(cb._free_pages)
+    free0 = cb._page_budget()
     cb.submit(Request(request_id=0, prompt=[5, 6, 7], max_new_tokens=50))
     cb.submit(Request(request_id=1, prompt=[8, 9], max_new_tokens=50,
                       timeout_s=0.0))  # expires on the first tick
@@ -249,7 +250,7 @@ def test_scheduler_cancel_and_timeout():
     assert out[0].finish_reason == "cancelled"
     assert out[1].finish_reason == "timeout"
     assert not cb.has_work()
-    assert len(cb._free_pages) == free0  # all pages returned
+    assert cb._page_budget() == free0  # all pages returned (free or parked)
     assert cb.cancel(99) is False
 
 
@@ -303,17 +304,8 @@ def test_scheduler_fuzz_invariants():
         elif action < 0.6 and all_ids:
             cb.cancel(int(rng.choice(all_ids)))  # may already be finished
         finished += cb.step()
-        # invariant: live pages + free pages == pool (page 0 reserved)
-        live = [p for s in cb._slots if s is not None for p in s.pages]
-        assert len(set(live)) == len(live), "double-booked page"
-        assert set(live).isdisjoint(cb._free_pages), "page both live+free"
-        assert len(live) + len(cb._free_pages) == cb.num_pages - 1
-        # invariant: block tables of live slots point at owned pages
-        for s in cb._slots:
-            if s is None:
-                continue
-            row = cb._block_tables[s.slot]
-            assert set(row[row != 0]).issubset(set(s.pages))
+        # page-pool conservation, refcounts, table ownership — every tick
+        cb.check_page_invariants()
     finished += cb.run_to_completion()
     ids = [f.request_id for f in finished]
     assert len(set(ids)) == len(ids), "completion delivered twice"
@@ -322,4 +314,109 @@ def test_scheduler_fuzz_invariants():
         assert f.finish_reason in ("eos", "length", "rejected", "cancelled",
                                    "timeout")
     assert not cb.has_work()
+    assert sorted(cb._free_pages + list(cb._cached_free)) == list(
+        range(1, cb.num_pages))
+    cb.check_page_invariants()
+
+
+# ---------------------------- prefix caching ----------------------------
+
+def _pc_engine(**kw):
+    base = dict(max_slots=2, page_size=8, num_pages=32, max_pages_per_seq=8,
+                sampling=GREEDY, kv_dtype=jnp.float32)
+    base.update(kw)
+    return ContinuousBatchingEngine(CFG, PARAMS, **base)
+
+
+def test_prefix_cache_sequential_reuse_exact():
+    """Re-submitting a prompt must skip its full pages' prefill (observable
+    in prefix_hit_tokens) and produce TOKEN-IDENTICAL greedy output — the
+    cached KV path (prefill resuming mid-prompt over shared pages) must be
+    bit-compatible with the fresh path."""
+    prompt = list(range(1, 21))          # 20 tokens -> 2 full pages of 8
+    expect = _manual_greedy(prompt, 6)
+    cb = _pc_engine()
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=6))
+    first = cb.run_to_completion()[0]
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 0
+    cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=6))
+    second = cb.run_to_completion()[0]
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 16  # 2 pages
+    assert first.token_ids[: len(expect)] == expect
+    assert second.token_ids == first.token_ids
+    cb.check_page_invariants()
+
+
+def test_prefix_cache_concurrent_sharing():
+    """Two live requests with the same prompt share the prefix pages
+    (refcount 2) without either corrupting the other; both match manual."""
+    prompt = [3 * i + 1 for i in range(19)]
+    expect = _manual_greedy(prompt, 5)
+    cb = _pc_engine()
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=5))
+    done = cb.run_to_completion()       # registers the prefix
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=5))
+    cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=5))
+    cb.step()                            # both admitted -> shared hits live
+    shared = [p for p, n in cb._page_refs.items() if n == 2]
+    assert shared, "prefix pages not shared across live requests"
+    cb.check_page_invariants()
+    done = {f.request_id: f for f in cb.run_to_completion()}
+    for rid in (0, 1):
+        assert done[rid].token_ids[: len(expect)] == expect, rid
+    cb.check_page_invariants()
+
+
+def test_prefix_cache_extends_into_generated_tokens():
+    """Multi-turn pattern: a follow-up prompt of (prompt + the previous
+    answer) hits pages covering GENERATED tokens too (their KV is known up
+    to the last written position)."""
+    prompt = list(range(40, 52))         # 12 tokens
+    cb = _pc_engine()
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=8))
+    first = cb.run_to_completion()[0]
+    # sequence content in cache = prompt + generated[:-1] (last token's KV
+    # is never written); follow-up turn extends the conversation
+    convo = prompt + first.token_ids
+    expect = _manual_greedy(convo, 4)
+    cb.submit(Request(request_id=1, prompt=convo, max_new_tokens=4))
+    second = cb.run_to_completion()[0]
+    hits = cb.metrics.snapshot()["prefix_hit_tokens"]
+    assert hits >= 16, hits              # beyond the 12-token prompt page
+    assert second.token_ids[: len(expect)] == expect
+    cb.check_page_invariants()
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """Cached ref-0 pages are reclaimed when live work needs the pool, and
+    correctness survives eviction (a later resubmit just re-prefills)."""
+    pa = list(range(1, 18))
+    cb = _pc_engine(num_pages=12, max_pages_per_seq=6)
+    cb.submit(Request(request_id=0, prompt=pa, max_new_tokens=4))
+    cb.run_to_completion()
+    assert cb._cached_free
+    # unrelated requests that need every page in the pool
+    for i in range(1, 4):
+        cb.submit(Request(request_id=i, prompt=[100 * i + j for j in range(17)],
+                          max_new_tokens=4))
+    cb.run_to_completion()
+    cb.check_page_invariants()
+    expect = _manual_greedy(pa, 4)
+    cb.submit(Request(request_id=9, prompt=pa, max_new_tokens=4))
+    out = cb.run_to_completion()[0]
+    assert out.token_ids[: len(expect)] == expect
+    cb.check_page_invariants()
+
+
+def test_prefix_cache_disabled_unchanged():
+    """prefix_cache=False keeps the plain allocator: full free list after
+    completion, zero hits on an exact resubmit."""
+    prompt = list(range(1, 21))
+    cb = _pc_engine(prefix_cache=False)
+    for rid in (0, 1):
+        cb.submit(Request(request_id=rid, prompt=prompt, max_new_tokens=4))
+    cb.run_to_completion()
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 0
+    assert not cb._cached_free
     assert sorted(cb._free_pages) == list(range(1, cb.num_pages))
+    cb.check_page_invariants()
