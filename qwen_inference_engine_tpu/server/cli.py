@@ -26,7 +26,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bits", type=int, default=16, choices=(4, 8, 16),
                    help="weight-only quantization")
     p.add_argument("--group-size", type=int, default=128)
-    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
+    p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16, 32),
+                   help="8=int8 KV, 16=bf16, 32=f32 (CPU runtimes: XLA:CPU "
+                        "has no bf16 dot — use 32 there)")
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size (0 = all devices)")
@@ -121,7 +123,8 @@ def cmd_generate(args) -> int:
 
     eng = Engine(cfg, params, mesh=mesh, max_batch=max(1, len(prompt_ids)),
                  max_seq=args.max_seq,
-                 kv_dtype=jnp.int8 if args.kv_bits == 8 else jnp.bfloat16,
+                 kv_dtype={8: jnp.int8, 32: jnp.float32}.get(
+                     args.kv_bits, jnp.bfloat16),
                  sampling=sp, seed=args.seed)
     from qwen_inference_engine_tpu.utils.profiling import trace
 
@@ -196,6 +199,9 @@ def main(argv=None) -> int:
     s.add_argument("--max-slots", type=int, default=8)
     s.add_argument("--page-size", type=int, default=16)
     s.add_argument("--num-pages", type=int, default=512)
+    s.add_argument("--no-prefix-cache", action="store_true",
+                   help="disable automatic prefix caching (page reuse "
+                        "across requests sharing a prompt prefix)")
     s.set_defaults(fn=cmd_serve)
 
     qz = sub.add_parser("quantize",

@@ -56,7 +56,8 @@ class Server:
             max_pages_per_seq=max(4, args.max_seq // args.page_size),
             kv_dtype={8: jnp.int8, 32: jnp.float32}.get(
                 args.kv_bits, jnp.bfloat16),
-            sampling=self.default_sp, seed=args.seed)
+            sampling=self.default_sp, seed=args.seed,
+            prefix_cache=not getattr(args, "no_prefix_cache", False))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}
         self._next_id = 0

@@ -25,11 +25,14 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_matches_single_process(devices8):
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(root, "tests", "multihost_worker.py")
-    port = _free_port()
+def _spawn_workers(root, worker):
+    """One coordinated 2-worker run; returns the two stdouts or raises.
 
+    Retried once by the caller: the coordinator port is grabbed then
+    released before the workers bind it (unavoidable race with other
+    suite processes), and a loaded machine can push two cold JAX inits
+    past the timeout — both are environment flakes, not product bugs."""
+    port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -46,9 +49,20 @@ def test_two_process_distributed_matches_single_process(devices8):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
+                q.communicate()
             raise
         assert p.returncode == 0, f"proc{i} failed:\n{out}\n{err[-3000:]}"
         outs.append(out)
+    return outs
+
+
+def test_two_process_distributed_matches_single_process(devices8):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "multihost_worker.py")
+    try:
+        outs = _spawn_workers(root, worker)
+    except (subprocess.TimeoutExpired, AssertionError):
+        outs = _spawn_workers(root, worker)
 
     sums = []
     for i, out in enumerate(outs):
