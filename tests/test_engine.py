@@ -420,3 +420,19 @@ def test_prefix_cache_disabled_unchanged():
     assert not cb._cached_free
     assert sorted(cb._free_pages) == list(range(1, cb.num_pages))
     cb.check_page_invariants()
+
+
+def test_prefix_cache_int8_kv_hits():
+    """Quantized KV pool: the per-page scale slabs are addressed by the
+    same block-table indirection, so shared prefix pages must carry their
+    scales too — outputs on a hit must match the engine's own fresh run."""
+    prompt = list(range(1, 21))
+    cb = _pc_engine(kv_dtype=jnp.int8)
+    assert cb.cache.quantized
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=5))
+    first = cb.run_to_completion()[0]
+    cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=5))
+    second = cb.run_to_completion()[0]
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 16
+    assert second.token_ids == first.token_ids
+    cb.check_page_invariants()
