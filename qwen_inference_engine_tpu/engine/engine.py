@@ -247,11 +247,17 @@ class Engine:
             generate_speculative,
         )
 
+        # Pallas kernels are not GSPMD-partitionable: under a multi-device
+        # mesh the speculative forward (which bypasses the shard_map TP
+        # step) must take the partitionable XLA paths
+        use_pallas = self.use_pallas
+        if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
+            use_pallas = False
         cache = self.new_cache()
         return generate_speculative(
             self.params, self.cfg, list(prompts), cache,
             max_new_tokens=max_new_tokens, k=k, ngram=ngram,
-            use_pallas=self.use_pallas)
+            use_pallas=use_pallas)
 
     # ------------------------------------------------------------------
     def generate(

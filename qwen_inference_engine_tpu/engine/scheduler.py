@@ -48,7 +48,10 @@ from qwen_inference_engine_tpu.models.qwen import (
     decode_step,
     forward_hidden,
 )
-from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
+from qwen_inference_engine_tpu.ops.sampling import (
+    SamplingParams,
+    sample_rows,
+)
 from qwen_inference_engine_tpu.parallel.sharding import make_sharded_cache
 from qwen_inference_engine_tpu.utils.metrics import Metrics
 
@@ -76,6 +79,7 @@ class _Running:
     t_submit: float = 0.0
     prefilled: int = 0                # prompt tokens already in cache
     cached_prefix: int = 0            # leading pages[i] shared via prefix cache
+    admit_seq: int = 0                # monotonic admission order
 
     @property
     def prefill_done(self) -> bool:
@@ -176,8 +180,26 @@ class ContinuousBatchingEngine:
         self._pending: Deque[Request] = deque()
         self._finished: List[FinishedRequest] = []
         self._step_count = 0
+        self._admit_count = 0
         self._jit_cache: Dict = {}
         self._eos = set(cfg.eos_token_ids)
+        # top-k selection width of the one compiled decode step; per-row
+        # dynamic top_k masks within it (ops/sampling.sample_rows), so a
+        # request may use any top_k in [1, k_cap] (or 0 → k_cap) — the
+        # serving cap exposed to the HTTP layer
+        self.k_cap = max(64, self.sampling.top_k)
+        # per-slot presence mask of tokens seen (prompt + generated),
+        # device-resident: the repetition penalty's input in serving
+        self._seen = jnp.zeros((max_slots, cfg.vocab_size), jnp.bool_)
+
+    def _seen_set_row(self, slot: int, row: np.ndarray) -> None:
+        """Replace one slot's seen-token row (admission: prompt presence)."""
+        if "seen_set" not in self._jit_cache:
+            self._jit_cache["seen_set"] = jax.jit(
+                lambda m, s, r: jax.lax.dynamic_update_slice(m, r[None], (s, 0)),
+                donate_argnums=(0,))
+        self._seen = self._jit_cache["seen_set"](
+            self._seen, jnp.int32(slot), jnp.asarray(row))
 
     # ------------------------------------------------------------------
     @property
@@ -226,17 +248,18 @@ class ContinuousBatchingEngine:
                 self._finish(run, "timeout")
 
     # ------------------------------------------------------------------
-    def _jit_prefill_piece(self, T: int, first: bool, last: bool,
-                           sp: SamplingParams):
+    def _jit_prefill_piece(self, T: int, first: bool, last: bool):
         """One chunk of a (possibly multi-tick) prefill for a single slot.
 
         ``first``: the chunk starts at position 0 (fresh-prefill fast path);
         ``last``: the prompt ends inside this chunk — compute last-valid
-        logits and sample the first generated token.
+        logits and sample the first generated token with the REQUEST's own
+        sampling params (all dynamic — one compile per chunk shape only).
         """
-        key = ("piece", T, first, last, sp.top_k, sp.greedy)
+        key = ("piece", T, first, last)
         if key not in self._jit_cache:
             cfg, use_pallas = self.cfg, self.use_pallas
+            k_cap, approx = self.k_cap, self.sampling.approx_top_k
             tp_piece = None
             if self._tp_step:
                 from qwen_inference_engine_tpu.parallel.tp_step import (
@@ -247,11 +270,12 @@ class ContinuousBatchingEngine:
                     cfg, self.mesh, self.params, self._cache_template(),
                     T=T, first=first, last=last)
 
-            def fn(params, tokens, start, nvalid, cache, tables, rkey, sp_dyn):
+            def fn(params, tokens, start, nvalid, cache, tables, rkey, sp_dyn,
+                   seen, slot):
                 if tp_piece is not None:
                     out = tp_piece(params, tokens, start, nvalid, cache, tables)
                     if not last:
-                        return None, out
+                        return None, out, seen
                     logits, cache = out
                 else:
                     positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -260,18 +284,21 @@ class ContinuousBatchingEngine:
                         block_tables=tables, fresh_prefill=first,
                         use_pallas=use_pallas)
                     if not last:
-                        return None, cache
+                        return None, cache, seen
                     idx = jnp.clip(nvalid - 1, 0, T - 1)
                     h = jnp.take_along_axis(hidden, idx[:, None, None],
                                             axis=1)[:, 0]
                     logits = compute_logits(params, h, use_pallas)
-                sp_full = dataclasses.replace(
-                    sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
-                    repetition_penalty=sp_dyn["repetition_penalty"])
-                tok = sample(logits, rkey, sp_full)
-                return tok, cache
+                row = jax.lax.dynamic_slice(
+                    seen, (slot, 0), (1, seen.shape[1]))
+                tok = sample_rows(
+                    logits, rkey, k_cap=k_cap, approx_top_k=approx,
+                    seen_mask=row, **sp_dyn)
+                row = row.at[0, tok[0]].set(True)
+                seen = jax.lax.dynamic_update_slice(seen, row, (slot, 0))
+                return tok, cache, seen
 
-            self._jit_cache[key] = jax.jit(fn, donate_argnums=(4,))
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(4, 8))
         return self._jit_cache[key]
 
     def _cache_template(self) -> PagedKVCache:
@@ -288,10 +315,11 @@ class ContinuousBatchingEngine:
             page_size=c.page_size,
         )
 
-    def _jit_decode(self, sp: SamplingParams):
-        key = ("decode", sp.top_k, sp.greedy)
+    def _jit_decode(self):
+        key = ("decode",)
         if key not in self._jit_cache:
             cfg, use_pallas = self.cfg, self.use_pallas
+            k_cap, approx = self.k_cap, self.sampling.approx_top_k
             tp_dec = None
             if self._tp_step:
                 from qwen_inference_engine_tpu.parallel.tp_step import (
@@ -301,47 +329,58 @@ class ContinuousBatchingEngine:
                 tp_dec = make_tp_decode_fn(cfg, self.mesh, self.params,
                                            self._cache_template(), paged=True)
 
-            def fn(params, tok, pos, cache, tables, rkey, sp_dyn):
+            def fn(params, tok, pos, cache, tables, rkey, sp_dyn, seen):
                 if tp_dec is not None:
                     logits, cache = tp_dec(params, tok, pos, cache, tables)
                 else:
                     logits, cache = decode_step(params, cfg, tok, pos, cache,
                                                 block_tables=tables,
                                                 use_pallas=use_pallas)
-                sp_full = dataclasses.replace(
-                    sp, temperature=sp_dyn["temperature"], top_p=sp_dyn["top_p"],
-                    repetition_penalty=sp_dyn["repetition_penalty"])
-                nxt = sample(logits, rkey, sp_full)
-                return nxt, cache
+                nxt = sample_rows(
+                    logits, rkey, k_cap=k_cap, approx_top_k=approx,
+                    seen_mask=seen, **sp_dyn)
+                b = jnp.arange(seen.shape[0])
+                seen = seen.at[b, nxt].set(True)
+                return nxt, cache, seen
 
-            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3,))
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 7))
         return self._jit_cache[key]
 
-    def _sp_dyn(self, sp: SamplingParams):
+    def _sp_dyn_one(self, sp: SamplingParams):
+        """Single-row dynamic sampling params (prefill piece)."""
         return {
-            "temperature": jnp.float32(sp.temperature),
-            "top_p": jnp.float32(sp.top_p),
-            "repetition_penalty": jnp.float32(sp.repetition_penalty),
+            "temperature": jnp.asarray([sp.temperature], jnp.float32),
+            "top_p": jnp.asarray([sp.top_p], jnp.float32),
+            "repetition_penalty": jnp.asarray([sp.repetition_penalty],
+                                              jnp.float32),
+            "top_k": jnp.asarray([sp.top_k], jnp.int32),
+            "greedy": jnp.asarray([sp.greedy], jnp.bool_),
         }
 
     def _sp_dyn_rows(self):
-        """Per-slot temperature/top_p/repetition vectors: each slot decodes
-        with ITS request's sampling params (top_k/greedy stay engine-level
-        statics). Empty slots take the engine defaults."""
+        """Per-slot sampling-param vectors: each slot decodes with ITS
+        request's params — temperature/top_p/penalty/top_k/greedy are all
+        dynamic rows of the ONE compiled decode step (sample_rows). Empty
+        slots take the engine defaults."""
         import numpy as _np
 
         t = _np.full((self.max_slots,), self.sampling.temperature, _np.float32)
         p = _np.full((self.max_slots,), self.sampling.top_p, _np.float32)
         r = _np.full((self.max_slots,), self.sampling.repetition_penalty,
                      _np.float32)
+        k = _np.full((self.max_slots,), self.sampling.top_k, _np.int32)
+        g = _np.full((self.max_slots,), self.sampling.greedy, bool)
         for s_ in self._slots:
             if s_ is not None and s_.request.sampling is not None:
                 sp = s_.request.sampling
                 t[s_.slot] = sp.temperature
                 p[s_.slot] = sp.top_p
                 r[s_.slot] = sp.repetition_penalty
+                k[s_.slot] = sp.top_k
+                g[s_.slot] = sp.greedy
         return {"temperature": jnp.asarray(t), "top_p": jnp.asarray(p),
-                "repetition_penalty": jnp.asarray(r)}
+                "repetition_penalty": jnp.asarray(r),
+                "top_k": jnp.asarray(k), "greedy": jnp.asarray(g)}
 
     # ---------------- prefix-cache page accounting --------------------
     def _alloc_page(self) -> int:
@@ -473,8 +512,14 @@ class ContinuousBatchingEngine:
             self.metrics.observe_prefix_hit(cached_len)
         run = _Running(request=req, slot=free_slot, pages=pages,
                        seq_len=len(req.prompt), t_submit=time.perf_counter(),
-                       prefilled=cached_len, cached_prefix=len(hits))
+                       prefilled=cached_len, cached_prefix=len(hits),
+                       admit_seq=self._admit_count)
+        self._admit_count += 1
         self._slots[free_slot] = run
+        # prompt-token presence row for the repetition penalty
+        seen_row = np.zeros((self.cfg.vocab_size,), bool)
+        seen_row[np.asarray(req.prompt, np.int64)] = True
+        self._seen_set_row(free_slot, seen_row)
         row = np.zeros((self.max_pages_per_seq,), np.int32)
         row[: len(pages)] = pages
         self._block_tables[free_slot] = row
@@ -498,14 +543,14 @@ class ContinuousBatchingEngine:
         last = start + T >= len(prompt)
         tokens = np.zeros((1, T), np.int32)
         tokens[0, : len(piece)] = piece
-        fn = self._jit_prefill_piece(T, first=(start == 0), last=last, sp=sp)
+        fn = self._jit_prefill_piece(T, first=(start == 0), last=last)
         rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                   run.request.request_id)
-        tok, self.cache = fn(
+        tok, self.cache, self._seen = fn(
             self.params, jnp.asarray(tokens), jnp.int32(start),
             jnp.asarray([len(piece)], np.int32), self.cache,
             jnp.asarray(self._block_tables[run.slot : run.slot + 1]),
-            rkey, self._sp_dyn(sp),
+            rkey, self._sp_dyn_one(sp), self._seen, jnp.int32(run.slot),
         )
         run.prefilled = start + len(piece)
         self.metrics.observe_prefill(len(piece))
@@ -562,7 +607,10 @@ class ContinuousBatchingEngine:
                       if s is not None and not s.prefill_done]
         decoding = [s for s in self._slots if s is not None and s.prefill_done]
         if prefilling:
-            target = prefilling[0]  # oldest admitted first
+            # oldest ADMITTED first (slot index is reuse order, not age:
+            # a new request in a freed low slot must not preempt an
+            # in-flight prefill in a higher slot)
+            target = min(prefilling, key=lambda s: s.admit_seq)
             if decoding:
                 self._prefill_tick(target)          # one chunk only
             else:
@@ -585,13 +633,12 @@ class ContinuousBatchingEngine:
                 toks[s.slot] = s.last_token
                 pos[s.slot] = s.seq_len  # next write position
                 tables[s.slot] = self._block_tables[s.slot]
-            sp = self.sampling
-            fn = self._jit_decode(sp)
+            fn = self._jit_decode()
             rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       100_000 + self._step_count)
-            nxt, self.cache = fn(
+            nxt, self.cache, self._seen = fn(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-                jnp.asarray(tables), rkey, self._sp_dyn_rows(),
+                jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
             )
             self._step_count += 1
             nxt_np = np.asarray(nxt)  # value fetch = true sync
@@ -646,7 +693,7 @@ class ContinuousBatchingEngine:
             toks[s.slot] = s.last_token
             pos0[s.slot] = s.seq_len
             tables[s.slot] = self._block_tables[s.slot]
-        fn = self._jit_decode(self.sampling)
+        fn = self._jit_decode()
         tables_d = jnp.asarray(tables)
         sp_rows = self._sp_dyn_rows()
         nxt = jnp.asarray(toks)
@@ -654,15 +701,15 @@ class ContinuousBatchingEngine:
         for i in range(n):
             rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       100_000 + self._step_count)
-            nxt, self.cache = fn(
+            nxt, self.cache, self._seen = fn(
                 self.params, nxt, jnp.asarray(pos0) + i, self.cache,
-                tables_d, rkey, sp_rows,
+                tables_d, rkey, sp_rows, self._seen,
             )
             self._step_count += 1
             cols.append(nxt)
         mat = np.asarray(jnp.stack(cols, 0))  # ONE sync for n ticks
-        self.metrics.observe_decode(len(decoding) * n,
-                                    time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        kept = 0  # only DELIVERED tokens count toward /stats throughput
         for s in decoding:
             for i in range(n):
                 tok = int(mat[i, s.slot])
@@ -670,6 +717,7 @@ class ContinuousBatchingEngine:
                 self._seq_lens[s.slot] = s.seq_len
                 s.generated.append(tok)
                 s.last_token = tok
+                kept += 1
                 if self.on_token is not None:
                     self.on_token(s.request.request_id, tok)
                 if tok in self._eos:
@@ -680,6 +728,7 @@ class ContinuousBatchingEngine:
                 if len(s.generated) >= s.request.max_new_tokens:
                     self._finish(s, "length")
                     break
+        self.metrics.observe_decode(kept, elapsed)
         return self._drain_finished()
 
     def run_to_completion(self, sync_every: int = 8) -> List[FinishedRequest]:

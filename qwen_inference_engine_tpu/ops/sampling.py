@@ -119,6 +119,48 @@ def _mask_top_p(sorted_logits: jax.Array, top_p) -> jax.Array:
     return jnp.where(keep, sorted_logits, -jnp.inf)
 
 
+def sample_rows(
+    logits: jax.Array,
+    key: jax.Array,
+    *,
+    k_cap: int,
+    temperature: jax.Array,          # [B] f32
+    top_p: jax.Array,                # [B] f32
+    top_k: jax.Array,                # [B] int32 (0 or >k_cap → k_cap)
+    greedy: jax.Array,               # [B] bool
+    repetition_penalty: jax.Array,   # [B] f32
+    seen_mask: jax.Array | None = None,
+    approx_top_k: bool = False,
+) -> jax.Array:
+    """Per-row fully-dynamic sampling: every parameter is a [B] array, so
+    one compiled step serves requests with different top_k/greedy/temp/
+    top_p/penalty (continuous batching — the fix for per-request sampling
+    being silently reduced to engine-level statics).  ``k_cap`` is the one
+    static: the top-k selection width; per-row ``top_k`` masks within it.
+    Greedy rows take the exact argmax (computed on the raw penalized
+    logits, so approx_top_k's ~95% recall never affects greedy output).
+    """
+    logits = logits.astype(jnp.float32)
+    if seen_mask is not None:
+        logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+    arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    k_cap = min(k_cap, logits.shape[-1])
+    if approx_top_k and k_cap < logits.shape[-1]:
+        top_vals, top_idx = jax.lax.approx_max_k(scaled, k_cap)
+    else:
+        top_vals, top_idx = jax.lax.top_k(scaled, k_cap)
+    k_row = jnp.where((top_k <= 0) | (top_k > k_cap), k_cap, top_k)
+    lane = jnp.arange(k_cap)[None, :]
+    top_vals = jnp.where(lane < k_row[:, None], top_vals, -jnp.inf)
+    top_vals = _mask_top_p(top_vals, top_p)
+    choice = jax.random.categorical(key, top_vals, axis=-1)
+    drawn = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(greedy, arg, drawn).astype(jnp.int32)
+
+
 def update_seen_mask(seen_mask: jax.Array, tokens: jax.Array) -> jax.Array:
     """Mark ``tokens`` [B] as seen in the [B, V] presence mask."""
     b = jnp.arange(seen_mask.shape[0])

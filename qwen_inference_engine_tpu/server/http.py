@@ -213,6 +213,17 @@ def _make_handler(server: Server):
                          ("temperature", "top_p", "repetition_penalty")
                          if k in req}
             meta = {k: req[k] for k in ("top_k", "greedy") if k in req}
+            if "top_k" in meta:
+                # the decode step's top-k selection width is compiled once
+                # (engine.k_cap); per-row top_k masks within it, so any
+                # value in [0, k_cap] is served exactly (0 → k_cap)
+                k_cap = server.engine.k_cap
+                if not isinstance(meta["top_k"], int) or \
+                        not 0 <= meta["top_k"] <= k_cap:
+                    return self._json(400, {
+                        "error": f"top_k must be an int in [0, {k_cap}]"})
+            if "greedy" in meta and not isinstance(meta["greedy"], bool):
+                return self._json(400, {"error": "greedy must be a bool"})
             if overrides or meta:
                 sp = dataclasses.replace(sp, **overrides, **meta)
             max_new = int(req.get("max_new_tokens", 128))

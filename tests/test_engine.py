@@ -276,6 +276,63 @@ def test_per_request_sampling_in_decode():
     assert got[: len(expect)] == expect, (got, expect)
 
 
+def test_per_request_greedy_is_exact_in_serving():
+    """A greedy:true request against a sampling-default engine must emit
+    the exact greedy chain for EVERY token (the decode step used to
+    compile with engine-level top_k/greedy statics, so only the prefill-
+    sampled first token honored the request's greedy flag)."""
+    prompt = [5, 9, 17, 3]
+    expect = _manual_greedy(prompt, 8)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16,
+        sampling=SamplingParams(temperature=5.0, top_k=50),
+        kv_dtype=jnp.float32,
+    )
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=8,
+                      sampling=SamplingParams(greedy=True)))
+    cb.submit(Request(request_id=1, prompt=[7, 8, 9], max_new_tokens=8))
+    by_id = {f.request_id: f for f in cb.run_to_completion()}
+    got = by_id[0].token_ids
+    assert got[: len(expect)] == expect, (got, expect)
+
+
+def test_repetition_penalty_active_in_serving():
+    """repetition_penalty must actually bite on the serving path (it was
+    accepted per-request but silently dropped: sample() only applies it
+    given a seen_mask and the scheduler never built one).  A huge penalty
+    under greedy decoding must forbid immediate token repeats that the
+    unpenalized chain produces."""
+    prompt = [5, 9, 17, 3]
+
+    def serve(pen):
+        cb = ContinuousBatchingEngine(
+            CFG, PARAMS, max_slots=1, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32)
+        cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=12,
+                          sampling=SamplingParams(
+                              greedy=True, repetition_penalty=pen)))
+        return cb.run_to_completion()[0].token_ids
+
+    plain = serve(1.0)
+    assert plain == _manual_greedy(prompt, 12)  # no-penalty path unchanged
+    penalized = serve(1e6)
+    # with a ~infinite penalty no generated token may repeat a seen one
+    seen = set(prompt)
+    plain_repeats = False
+    for t in plain:
+        plain_repeats = plain_repeats or t in seen
+        seen.add(t)
+    seen = set(prompt)
+    for t in penalized:
+        if t in CFG.eos_token_ids:
+            break
+        assert t not in seen, (penalized, plain)
+        seen.add(t)
+    if plain_repeats:  # the penalty must have changed the chain
+        assert penalized != plain
+
+
 def test_scheduler_fuzz_invariants():
     """Randomized admit/step/cancel churn: the page allocator must never
     double-book, slots and tables must stay consistent, every request
