@@ -376,9 +376,10 @@ def forward_hidden(
 
             use_contig_kernel = decode_attention_supported(
                 Dh, cache.k.shape[3], Hq, Hk)
-        elif not paged and T > 1 and uniform_decode and not cache.quantized:
+        elif not paged and T > 1 and uniform_decode:
             # chunked-prefill continuation: flash over the cache prefix
-            # (the XLA path's [B,Hk,G,T,S] score block capped chunk sizes)
+            # (the XLA path's [B,Hk,G,T,S] score block capped chunk sizes);
+            # INT8-KV caches ride the q8 variant (mixed bf16×int8 dots)
             from qwen_inference_engine_tpu.ops.chunk_attention import (
                 chunk_attention_supported,
             )
@@ -568,12 +569,22 @@ def forward_hidden(
                     q, cache_c["k"], cache_c["v"], block_tables,
                     positions[:, 0] + 1, page_size, l)
         elif use_chunk_kernel:
-            from qwen_inference_engine_tpu.ops.chunk_attention import (
-                chunk_attention_contiguous,
-            )
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.chunk_attention import (
+                    chunk_attention_contiguous_q8,
+                )
 
-            attn = chunk_attention_contiguous(
-                q, cache_c["k"], cache_c["v"], l, positions[0, 0])
+                attn = chunk_attention_contiguous_q8(
+                    q, cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"],
+                    l, positions[0, 0])
+            else:
+                from qwen_inference_engine_tpu.ops.chunk_attention import (
+                    chunk_attention_contiguous,
+                )
+
+                attn = chunk_attention_contiguous(
+                    q, cache_c["k"], cache_c["v"], l, positions[0, 0])
         else:
             # post-write layer slice; the dynamic-slice read fuses into the
             # attention consumer (no standalone copy of the layer cache).
@@ -720,9 +731,15 @@ def prefill_chunked(
     A monolithic prefill materializes [B*T, intermediate] MLP activations
     (~3.7 GB per gate/up at 7B, B=96, T=1024 — an HBM OOM on v5e).  Chunk 0
     takes the fresh-prefill fast path (flash kernel, no cache read); later
-    chunks run the generic path: causal masking is by absolute position, so
+    chunks run ONE ``lax.scan``-traced continuation body with the chunk
+    index as a dynamic carry: causal masking is by absolute position, so
     attending over the cache-so-far plus the in-chunk block is exactly the
-    continuation semantics.  One compile per chunk shape (all chunks equal).
+    continuation semantics.  Exactly TWO compiled forward variants
+    regardless of prompt length — the unrolled per-chunk loop with a
+    distinct static ``kv_window`` per chunk compiled n_chunks variants
+    (616 s cold prefill at 7B b96×1408 chunk=64); the continuation chunk
+    kernel (ops/chunk_attention.py) bounds its KV reads by the dynamic
+    start position instead, so no static window is needed.
 
     Returns (last-valid-token logits [B, V], cache).
     """
@@ -750,25 +767,36 @@ def prefill_chunked(
             f"the chunk size")
     if pad:
         tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
-    hidden_last = None
-    for i in range(n_chunks):
+    last_idx = (lengths - 1).astype(jnp.int32)
+    arange_c = jnp.arange(chunk, dtype=jnp.int32)
+
+    def run_chunk(i, cache, fresh: bool):
         tc = jax.lax.dynamic_slice_in_dim(tokens, i * chunk, chunk, axis=1)
-        positions = i * chunk + jnp.broadcast_to(
-            jnp.arange(chunk, dtype=jnp.int32)[None, :], (B, chunk))
+        positions = i * chunk + jnp.broadcast_to(arange_c[None, :], (B, chunk))
         hidden, cache = forward_hidden(
             params, cfg, tc, positions, cache, block_tables,
-            fresh_prefill=(i == 0), use_pallas=use_pallas,
+            fresh_prefill=fresh, use_pallas=use_pallas,
             attn_impl=attn_impl, uniform_decode=(block_tables is None),
-            kv_window=(i + 1) * chunk, reduce_axis=reduce_axis,
+            reduce_axis=reduce_axis,
         )
-        if hidden_last is None:
-            hidden_last = jnp.zeros((B, cfg.hidden_size), hidden.dtype)
-        # update rows whose last valid token falls inside this chunk
-        last_idx = (lengths - 1).astype(jnp.int32)
+        # rows whose last valid token falls inside this chunk
         in_chunk = (last_idx >= i * chunk) & (last_idx < (i + 1) * chunk)
         local = jnp.clip(last_idx - i * chunk, 0, chunk - 1)
         sel = jnp.take_along_axis(hidden, local[:, None, None], axis=1)[:, 0]
+        return cache, sel, in_chunk
+
+    cache, sel0, in0 = run_chunk(jnp.int32(0), cache, fresh=True)
+    hidden_last = jnp.where(in0[:, None], sel0,
+                            jnp.zeros((B, cfg.hidden_size), sel0.dtype))
+
+    def body(carry, i):
+        cache, hidden_last = carry
+        cache, sel, in_chunk = run_chunk(i, cache, fresh=False)
         hidden_last = jnp.where(in_chunk[:, None], sel, hidden_last)
+        return (cache, hidden_last), None
+
+    (cache, hidden_last), _ = jax.lax.scan(
+        body, (cache, hidden_last), jnp.arange(1, n_chunks, dtype=jnp.int32))
     return compute_logits(params, hidden_last, use_pallas), cache
 
 

@@ -128,6 +128,115 @@ def _chunk_attention(start, layer, qg, k_cache, v_cache, *, scale):
     )(start, layer, qg, k_cache, v_cache)
 
 
+def _chunk_kernel_q8(start_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref,
+                     vs_ref, o_ref, acc_ref, m_ref, l_ref, *, block_s,
+                     scale, n_kv, G8, T):
+    """INT8-KV variant: mixed-input bf16×int8 dots run at the MXU pass
+    floor (never a VPU dequant); per-token scales fold into the scores /
+    probabilities exactly as in ops/decode_attention._decode_kernel_q8."""
+    sb = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    start = start_ref[0]
+    end = start + T
+    TG = T * G8
+    D = q_ref.shape[4]
+
+    @pl.when(sb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(sb * block_s < end)
+    def _():
+        needs_mask = (sb + 1) * block_s > start
+        kpos = sb * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (TG, block_s), dimension=1)
+        qpos = start + jax.lax.broadcasted_iota(
+            jnp.int32, (TG, block_s), dimension=0) // G8
+        hide = jnp.logical_and(needs_mask, kpos > qpos)
+        for h in range(n_kv):
+            q = q_ref[0, :, h].reshape(TG, D)              # bf16
+            k = k_ref[0, 0, h]                             # [bs, D] int8
+            ks = ks_ref[0, 0, h]                           # [bs] f32
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (ks[None, :] * scale)
+            s = jnp.where(hide, _NEG_INF, s)
+
+            sl = slice(h * TG, (h + 1) * TG)
+            m_prev = m_ref[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[sl] = m_new
+            pb = (p * vs_ref[0, 0, h][None, :]).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                pb, v_ref[0, 0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[sl] = acc_ref[sl] * alpha + pv
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        out = acc_ref[:] / denom
+        o_ref[0] = out.reshape(n_kv, T, G8, D).swapaxes(0, 1).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _chunk_attention_q8(start, layer, qg, k_cache, v_cache, k_scale,
+                        v_scale, *, scale):
+    B, T, Hk, G8, D = qg.shape
+    S = k_cache.shape[3]
+    bs = 512 if S % 512 == 0 else 256
+    TG = T * G8
+
+    def kv_index(b, sb, start_ref, layer_ref):
+        last = (start_ref[0] + T - 1) // bs
+        return (layer_ref[0], b, 0, jnp.minimum(sb, last), 0)
+
+    def s_index(b, sb, start_ref, layer_ref):
+        last = (start_ref[0] + T - 1) // bs
+        return (layer_ref[0], b, 0, jnp.minimum(sb, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, S // bs),
+        in_specs=[
+            pl.BlockSpec((1, T, Hk, G8, D),
+                         lambda b, sb, start, layer: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hk, bs, D), kv_index),
+            pl.BlockSpec((1, 1, Hk, bs, D), kv_index),
+            pl.BlockSpec((1, 1, Hk, bs), s_index),
+            pl.BlockSpec((1, 1, Hk, bs), s_index),
+        ],
+        out_specs=pl.BlockSpec((1, T, Hk, G8, D),
+                               lambda b, sb, start, layer: (b, 0, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hk * TG, D), jnp.float32),
+            pltpu.VMEM((Hk * TG, 1), jnp.float32),
+            pltpu.VMEM((Hk * TG, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_chunk_kernel_q8, block_s=bs, scale=scale,
+                               n_kv=Hk, G8=G8, T=T)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, Hk, G8, D), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hk * TG * S * D,
+            bytes_accessed=2 * B * Hk * S * D,
+            transcendentals=B * Hk * TG * S,
+        ),
+    )(start, layer, qg, k_cache, v_cache, k_scale, v_scale)
+
+
 def chunk_attention_supported(head_dim: int, T: int, num_heads: int,
                               num_kv_heads: int, max_seq: int) -> bool:
     g = num_heads // num_kv_heads
@@ -162,4 +271,34 @@ def chunk_attention_contiguous(
         jnp.asarray(start, jnp.int32).reshape(1),
         jnp.asarray(layer, jnp.int32).reshape(1),
         qg.astype(k_cache.dtype), k_cache, v_cache, scale=scale)
+    return out[:, :, :, :G, :].reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def chunk_attention_contiguous_q8(
+    q: jax.Array,          # [B, T, Hq, D] this chunk's (post-rope) queries
+    k_cache: jax.Array,    # [L, B, Hk, S, D] int8 (chunk's keys written)
+    v_cache: jax.Array,
+    k_scale: jax.Array,    # [L, B, Hk, S] f32 per-token-per-head scales
+    v_scale: jax.Array,
+    layer: jax.Array,
+    start,
+    scale: float | None = None,
+) -> jax.Array:
+    """INT8-KV continuation-chunk flash attention (the capacity-serving
+    config's prefill path — it used to fall back to the XLA score-block
+    attention this kernel exists to avoid)."""
+    B, T, Hq, D = q.shape
+    Hk = k_cache.shape[2]
+    G = Hq // Hk
+    G8 = 8
+    if scale is None:
+        scale = D ** -0.5
+    qg = q.reshape(B, T, Hk, G, D)
+    if G < G8:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, G8 - G), (0, 0)))
+    out = _chunk_attention_q8(
+        jnp.asarray(start, jnp.int32).reshape(1),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        qg.astype(jnp.bfloat16), k_cache, v_cache, k_scale, v_scale,
+        scale=scale)
     return out[:, :, :, :G, :].reshape(B, T, Hq, D).astype(q.dtype)

@@ -22,6 +22,8 @@ class Metrics:
         self._prefill_tokens = 0
         self._prefix_hit_tokens = 0
         self._requests = 0
+        self._spec_rounds = 0
+        self._spec_tokens = 0
 
     def observe_ttft(self, seconds: float) -> None:
         with self._lock:
@@ -41,6 +43,13 @@ class Metrics:
         """Prompt tokens served from the prefix cache (no forward run)."""
         with self._lock:
             self._prefix_hit_tokens += tokens
+
+    def observe_spec(self, rounds: int, tokens: int) -> None:
+        """Speculative verify forwards run and tokens they emitted —
+        tokens/rounds is the measured accepted-tokens-per-forward."""
+        with self._lock:
+            self._spec_rounds += rounds
+            self._spec_tokens += tokens
 
     @staticmethod
     def _pct(sorted_vals: List[float], q: float) -> float:

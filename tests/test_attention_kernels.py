@@ -407,6 +407,40 @@ def test_chunk_attention_matches_oracle(T, start):
                                rtol=4e-3, atol=4e-3)
 
 
+@pytest.mark.parametrize("T,start", [(16, 32), (8, 120)])
+def test_chunk_attention_q8_matches_dequant_oracle(T, start):
+    """INT8-KV continuation-chunk kernel vs attention over the dequantized
+    cache (the capacity config's prefill path — used to fall back to the
+    XLA score-block attention)."""
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+    from qwen_inference_engine_tpu.quant.kv_quant import (
+        dequantize_kv,
+        quantize_kv,
+    )
+
+    L, B, Hk, G, D, S = 2, 3, 2, 4, 128, 256
+    Hq = G * Hk
+    rng = np.random.default_rng(31)
+    kf = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(L, B, Hk, S, D)), jnp.float32)
+    kq, ks = quantize_kv(kf)
+    vq, vs = quantize_kv(vf)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    layer = 1
+
+    with interpret_pallas(ca):
+        got = ca.chunk_attention_contiguous_q8(q, kq, vq, ks, vs, layer,
+                                               start)
+
+    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+    k_deq = dequantize_kv(kq[layer], ks[layer], jnp.float32)
+    v_deq = dequantize_kv(vq[layer], vs[layer], jnp.float32)
+    oracle = gqa_attention_kmajor(q, k_deq, v_deq, positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_chunked_prefill_with_chunk_kernel_matches_xla():
     """prefill_chunked with the continuation-chunk flash kernel (forced
     via attn_impl='pallas', interpret mode) must match the XLA path."""
