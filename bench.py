@@ -1,6 +1,6 @@
 """Headline benchmark: decode tokens/s/chip, Qwen2.5-7B INT4 weight-only.
 
-Prints ONE JSON line:
+Prints one JSON line per measured config (the FIRST line is the headline):
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
 
 ``vs_baseline`` is measured throughput divided by the BASELINE.md target
@@ -9,13 +9,22 @@ the reference repo publishes no numbers of its own, SURVEY.md §6, so the
 driver's north-star target is the baseline).  vs_baseline ≥ 1.0 means the
 target is met.
 
+Extra lines (both gated off in BENCH_SMALL / by env):
+  * the best ABSOLUTE-throughput config (b128×1408, INT8 KV) — tracks raw
+    tok/s alongside the headline's %%-of-roofline config (BENCH_ABS=0 to
+    skip),
+  * the speculative-serving config (paged scheduler, prompt-lookup drafts
+    on a repetitive workload) — its vs_baseline is the speedup over the
+    SAME workload served non-speculatively (BENCH_SPEC=0 to skip).
+
 Everything (weights, KV traffic) is modeled from actual array sizes; the
 roofline is bytes-per-decode-step / HBM bandwidth. Weights are random but
 shape-exact (no checkpoint download on this host); arithmetic is identical
 to real serving.
 
 Env overrides: BENCH_MODEL, BENCH_BATCH, BENCH_STEPS, BENCH_PROMPT,
-BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16), BENCH_SMALL=1 (smoke mode).
+BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16), BENCH_SMALL=1 (smoke mode),
+BENCH_ABS=0/1, BENCH_SPEC=0/1.
 """
 
 import json
@@ -60,68 +69,43 @@ def tree_bytes(tree) -> int:
                for x in jax.tree.leaves(tree) if hasattr(x, "dtype"))
 
 
-def main():
-    small = os.environ.get("BENCH_SMALL") == "1"
-    model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
-    # default: the strongest measured serving point on one v5e chip —
-    # batch 96, 1408-token prompts, bf16 KV, INT4 weights: the long-context
-    # mix shifts step bytes toward the KV stream (which runs near HBM
-    # bandwidth) and away from the MXU-pass-bound matmuls, the best
-    # achieved %%-of-roofline (see docs/PERF.md round-2 log).
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "96"))
-    steps = int(os.environ.get("BENCH_STEPS", "16" if small else "96"))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "1408"))
-    bits = int(os.environ.get("BENCH_BITS", "4"))
-    gs = int(os.environ.get("BENCH_GS", "256"))
-    kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
-    q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
-    warmup = 4 if small else 16
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+def build_params(cfg, bits, gs, q_lmhead):
+    from qwen_inference_engine_tpu.models.qwen import (
+        init_params,
+        init_quantized_params,
+    )
 
-    from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
+    key = jax.random.PRNGKey(0)
+    if bits >= 16:
+        return init_params(cfg, key, dtype=jnp.bfloat16)
+    # pad_free: required by the fused single-pass MLP / pumped kernels
+    # (gate/up N == down K); shrinks the down-proj group size instead
+    # of padding (e.g. 7B: down gs 256 -> 128)
+    return init_quantized_params(cfg, key, bits=bits, group_size=gs,
+                                 quantize_lm_head=q_lmhead, pad_free=True)
+
+
+def run_decode_config(cfg, params, *, batch, steps, prompt_len, bits,
+                      kv_bits, warmup, chunk, want_pumped):
+    """Prefill + timed decode for one (batch, kv_bits) point; returns the
+    metric dict. ``params`` are shared across configs (weights are the
+    same INT4 arrays for both the ratio and the absolute config)."""
     from qwen_inference_engine_tpu.kvcache.cache import KVCache
     from qwen_inference_engine_tpu.models.qwen import (
         decode_step,
         decode_step_pumped,
-        init_params,
-        init_quantized_params,
         prefill_chunked,
         pumped_supported,
     )
     from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
-    cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
-    max_seq = prompt_len + steps + 16
-    # double-pumped decode (fused attention∥MLP kernel): on by default for
-    # the INT4/bf16-KV config it covers; BENCH_PUMPED=0 forces the plain path
-    want_pumped = os.environ.get("BENCH_PUMPED", "1") == "1" and bits == 4
-    log(f"bench: {cfg.name} INT{bits} gs={gs} kv={kv_bits} batch={batch} "
-        f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
-
-    t0 = time.perf_counter()
-    key = jax.random.PRNGKey(0)
-    if bits >= 16:
-        params = init_params(cfg, key, dtype=jnp.bfloat16)
-    else:
-        # pad_free: required by the fused single-pass MLP / pumped kernels
-        # (gate/up N == down K); shrinks the down-proj group size instead
-        # of padding (e.g. 7B: down gs 256 -> 128)
-        params = init_quantized_params(cfg, key, bits=bits, group_size=gs,
-                                       quantize_lm_head=q_lmhead,
-                                       pad_free=True)
+    max_seq = prompt_len + steps + warmup + 16
     kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)
     pumped = want_pumped and pumped_supported(cfg, params, cache, batch)
-    if not pumped and bits < 16 and os.environ.get("BENCH_FUSE_PROJ", "0") == "1":
-        from qwen_inference_engine_tpu.quant.quantize import fuse_projections
-
-        params = fuse_projections(params)  # qkv + gateup single-call projs
-    log(f"decode path: {'double-pumped fused' if pumped else 'plain'}"
-        + (" +fused-projections" if "qkv" in params["layers"] else ""))
-    jax.block_until_ready(params)
-    log(f"params ready in {time.perf_counter()-t0:.1f}s; "
-        f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
+    log(f"config b{batch} kv{kv_bits}: "
+        f"decode path {'double-pumped fused' if pumped else 'plain'}")
 
     sp = SamplingParams(temperature=0.7, top_k=50, approx_top_k=True)
 
@@ -193,12 +177,146 @@ def main():
         f"{roofline:.1f} tok/s; target(85%)={target:.1f}; "
         f"achieved {100*tok_per_s/roofline:.1f}% of roofline")
 
-    print(json.dumps({
-        "metric": f"decode_tok_per_s_per_chip_{cfg.name}_int{bits}_b{batch}",
+    del cache
+    return {
+        "metric": f"decode_tok_per_s_per_chip_{cfg.name}_int{bits}_b{batch}"
+                  + ("_kv8" if kv_bits == 8 else ""),
         "value": round(tok_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_per_s / target, 4),
-    }))
+    }
+
+
+def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
+                    period, reps, max_new):
+    """Speculative serving vs plain serving on the SAME repetitive
+    workload (period-token pattern repeated; prompt-lookup drafts hit when
+    the model's continuation echoes the period — the workload class PLD
+    targets: extraction / multi-turn echo). Returns the metric dict with
+    vs_baseline = speedup over the non-speculative scheduler."""
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    prompt_len = period * reps
+    rng = np.random.default_rng(7)
+    prompts = [
+        (rng.integers(0, cfg.vocab_size, period).tolist()) * reps
+        for _ in range(batch)
+    ]
+    kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    total_tokens = prompt_len + max_new + spec_k
+    pages_per_seq = -(-total_tokens // page_size) + 1
+
+    results = {}
+    for mode in ("plain", "spec"):
+        cb = ContinuousBatchingEngine(
+            cfg, params, max_slots=batch, page_size=page_size,
+            num_pages=batch * pages_per_seq + 8,
+            max_pages_per_seq=pages_per_seq,
+            sampling=SamplingParams(greedy=True), kv_dtype=kv_dtype,
+            prefix_cache=False,
+            speculative=(mode == "spec"), spec_k=spec_k,
+        )
+        for rid, p in enumerate(prompts):
+            cb.submit(Request(request_id=rid, prompt=p,
+                              max_new_tokens=max_new))
+        # admit + prefill outside the timed region (decode serving metric)
+        while any(s is None or not s.prefill_done
+                  for s in cb._slots) or cb._pending:
+            cb.step()
+        t0 = time.perf_counter()
+        fins = cb.run_to_completion()
+        dt = time.perf_counter() - t0
+        toks = {f.request_id: f.token_ids for f in fins}
+        n_tok = sum(len(t) for t in toks.values())
+        snap = cb.metrics.snapshot()
+        results[mode] = (n_tok / dt, toks, snap)
+        log(f"spec bench [{mode}]: {n_tok} tokens in {dt:.2f}s "
+            f"→ {n_tok/dt:.1f} tok/s"
+            + (f"; {snap['spec_tokens_per_forward']:.2f} tok/forward "
+               f"over {snap['spec_rounds']} rounds" if mode == "spec" else ""))
+
+    assert results["plain"][1] == results["spec"][1], \
+        "speculative greedy output diverged from plain greedy"
+    speedup = results["spec"][0] / results["plain"][0]
+    tpf = results["spec"][2]["spec_tokens_per_forward"]
+    log(f"spec bench: speedup {speedup:.2f}x, {tpf:.2f} accepted tokens/forward")
+    return {
+        "metric": f"decode_tok_per_s_spec_pld_{cfg.name}_b{batch}"
+                  + ("_kv8" if kv_bits == 8 else ""),
+        "value": round(results["spec"][0], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(speedup, 4),
+    }
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    model = os.environ.get("BENCH_MODEL", "tiny" if small else "qwen2.5-7b")
+    # default: the strongest measured %%-of-roofline serving point on one
+    # v5e chip — batch 96, 1408-token prompts, bf16 KV, INT4 weights: the
+    # long-context mix shifts step bytes toward the KV stream (which runs
+    # near HBM bandwidth) and away from the MXU-pass-bound matmuls (see
+    # docs/PERF.md round-2 log).
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "96"))
+    steps = int(os.environ.get("BENCH_STEPS", "16" if small else "96"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "16" if small else "1408"))
+    bits = int(os.environ.get("BENCH_BITS", "4"))
+    gs = int(os.environ.get("BENCH_GS", "256"))
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
+    q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
+    warmup = 4 if small else 16
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    want_abs = os.environ.get("BENCH_ABS", "0" if small else "1") == "1"
+    want_spec = os.environ.get("BENCH_SPEC", "0" if small else "1") == "1"
+
+    from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
+
+    cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
+    # double-pumped decode (fused attention∥MLP kernel): on by default for
+    # the INT4/bf16-KV config it covers; BENCH_PUMPED=0 forces the plain path
+    want_pumped = os.environ.get("BENCH_PUMPED", "1") == "1" and bits == 4
+    log(f"bench: {cfg.name} INT{bits} gs={gs} kv={kv_bits} batch={batch} "
+        f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
+
+    t0 = time.perf_counter()
+    params = build_params(cfg, bits, gs, q_lmhead)
+    jax.block_until_ready(params)
+    log(f"params ready in {time.perf_counter()-t0:.1f}s; "
+        f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
+
+    lines = [run_decode_config(
+        cfg, params, batch=batch, steps=steps, prompt_len=prompt_len,
+        bits=bits, kv_bits=kv_bits, warmup=warmup, chunk=chunk,
+        want_pumped=want_pumped)]
+
+    if want_abs:
+        # best ABSOLUTE tok/s point: bigger batch, INT8 KV (docs/PERF.md)
+        try:
+            lines.append(run_decode_config(
+                cfg, params, batch=int(os.environ.get("BENCH_ABS_BATCH", "128")),
+                steps=steps, prompt_len=prompt_len, bits=bits, kv_bits=8,
+                warmup=warmup, chunk=chunk, want_pumped=False))
+        except Exception as e:  # keep the headline even if the extra fails
+            log(f"absolute-config bench failed: {e!r}")
+
+    if want_spec:
+        try:
+            lines.append(run_spec_config(
+                cfg, params,
+                batch=int(os.environ.get("BENCH_SPEC_BATCH", "16")),
+                kv_bits=8, spec_k=int(os.environ.get("BENCH_SPEC_K", "4")),
+                page_size=16,
+                period=int(os.environ.get("BENCH_SPEC_PERIOD", "48")),
+                reps=4, max_new=int(os.environ.get("BENCH_SPEC_NEW", "96"))))
+        except Exception as e:
+            log(f"speculative bench failed: {e!r}")
+
+    for line in lines:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from collections import deque
 from typing import Deque, Dict, List, Optional, Sequence
 
@@ -118,6 +119,9 @@ class ContinuousBatchingEngine:
         prefill_chunk: int = 256,
         on_token=None,
         prefix_cache: bool = True,
+        speculative: bool = False,
+        spec_k: int = 4,
+        spec_ngram: int = 3,
     ):
         self.cfg = cfg
         self.params = params
@@ -149,6 +153,22 @@ class ContinuousBatchingEngine:
             else:
                 use_pallas = False
         self.use_pallas = use_pallas
+        # prompt-lookup speculative decoding inside the tick: the host
+        # drafts spec_k tokens per slot from the slot's own history, ONE
+        # T=spec_k+1 verify forward scores all slots, and each row emits
+        # 1..spec_k+1 tokens (greedy rows token-identical to plain decode;
+        # stochastic rows distribution-exact). The reference emits exactly
+        # one token per llm() call (qwen_main.cu:250-404).
+        if speculative and self._tp_step:
+            # the verify forward has no shard_map TP variant yet; Pallas
+            # custom calls are not GSPMD-partitionable, so running it
+            # against TP-sharded params would fail to compile
+            warnings.warn("speculative decoding is not supported with the "
+                          "shard_map TP step; disabling speculation")
+            speculative = False
+        self.speculative = speculative
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
         self.metrics = Metrics()
 
         cache = PagedKVCache.create(
@@ -346,6 +366,130 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 7))
         return self._jit_cache[key]
 
+    def _jit_verify(self):
+        """T=spec_k+1 verify forward: score the last token + k drafts for
+        every slot in ONE forward, build the model's own token chain with
+        each slot's dynamic sampling params, accept the longest draft
+        prefix equal to the chain, and emit chain[0..a] (1..k+1 tokens).
+
+        The chain is sampled sequentially (k+1 unrolled sample_rows with
+        tentative seen-mask updates), so each emitted token's repetition
+        penalty context is exactly the sequential-decode context; the seen
+        mask is then rebuilt from the ORIGINAL mask plus only the emitted
+        tokens, so rejected positions leave no trace. With a deterministic
+        draft this is distribution-exact per emitted token; greedy rows
+        are token-identical to plain decode."""
+        key = ("verify", self.spec_k)
+        if key not in self._jit_cache:
+            cfg, use_pallas = self.cfg, self.use_pallas
+            k = self.spec_k
+            k_cap, approx = self.k_cap, self.sampling.approx_top_k
+
+            def fn(params, tokens, pos0, cache, tables, rkey, sp_dyn, seen,
+                   drafts):
+                B = tokens.shape[0]
+                positions = pos0[:, None] + jnp.arange(k + 1,
+                                                       dtype=jnp.int32)[None, :]
+                hidden, cache = forward_hidden(
+                    params, cfg, tokens, positions, cache,
+                    block_tables=tables, fresh_prefill=False,
+                    ragged_multi=True, use_pallas=use_pallas)
+                logits = compute_logits(params, hidden, use_pallas)
+                seen0 = seen
+                rows = jnp.arange(B)
+                chain = []
+                for j in range(k + 1):
+                    tok_j = sample_rows(
+                        logits[:, j], jax.random.fold_in(rkey, j),
+                        k_cap=k_cap, approx_top_k=approx,
+                        seen_mask=seen, **sp_dyn)
+                    seen = seen.at[rows, tok_j].set(True)
+                    chain.append(tok_j)
+                chain = jnp.stack(chain, axis=1)            # [B, k+1]
+                match = drafts == chain[:, :-1]
+                acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+                n_new = jnp.sum(acc, axis=1) + 1            # [B] in 1..k+1
+                # rebuild: original mask ∪ emitted tokens only
+                keep = jnp.arange(k + 1)[None, :] < n_new[:, None]
+                seen = seen0
+                for j in range(k + 1):
+                    seen = seen.at[rows, chain[:, j]].max(keep[:, j])
+                return chain, n_new, cache, seen
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 7))
+        return self._jit_cache[key]
+
+    def _pld_draft_host(self, run: _Running) -> Optional[List[int]]:
+        """Prompt-lookup draft: the spec_k tokens that followed the most
+        recent earlier occurrence of the history's final spec_ngram-token
+        suffix (strong on extraction/summarization/multi-turn, where
+        output echoes input). None when no match — the slot then verifies
+        only its mandatory first position."""
+        hist = run.request.prompt + run.generated
+        n, k = self.spec_ngram, self.spec_k
+        if len(hist) < n + 1:
+            return None
+        suffix = tuple(hist[-n:])
+        for j in range(len(hist) - n - 1, -1, -1):
+            if tuple(hist[j:j + n]) == suffix:
+                cont = hist[j + n:j + n + k]
+                if cont:
+                    return cont + [0] * (k - len(cont))
+        return None
+
+    def _step_speculative(self, decoding: List[_Running],
+                          host_drafts: Dict[int, Optional[List[int]]]) -> None:
+        """One speculative round across all decoding slots (host drafts,
+        one verify forward, 1..k+1 tokens per row)."""
+        k = self.spec_k
+        t0 = time.perf_counter()
+        toks = np.zeros((self.max_slots, k + 1), np.int32)
+        drafts = np.zeros((self.max_slots, k), np.int32)
+        pos0 = np.zeros((self.max_slots,), np.int32)
+        tables = np.zeros_like(self._block_tables)
+        for s in decoding:
+            toks[s.slot, 0] = s.last_token
+            d = host_drafts.get(s.slot)
+            if d is not None:
+                toks[s.slot, 1:] = d
+                drafts[s.slot] = d
+            else:
+                drafts[s.slot] = -1  # never matches a sampled chain token
+            pos0[s.slot] = s.seq_len
+            tables[s.slot] = self._block_tables[s.slot]
+        fn = self._jit_verify()
+        rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                  100_000 + self._step_count)
+        chain, n_new, self.cache, self._seen = fn(
+            self.params, jnp.asarray(toks), jnp.asarray(pos0), self.cache,
+            jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
+            jnp.asarray(drafts),
+        )
+        self._step_count += 1
+        chain_np = np.asarray(chain)      # ONE host sync for the round
+        n_new_np = np.asarray(n_new)
+        elapsed = time.perf_counter() - t0
+        kept = 0
+        for s in decoding:
+            n = int(n_new_np[s.slot])
+            for j in range(n):
+                tok = int(chain_np[s.slot, j])
+                s.seq_len += 1
+                self._seq_lens[s.slot] = s.seq_len
+                s.generated.append(tok)
+                s.last_token = tok
+                kept += 1
+                if self.on_token is not None:
+                    self.on_token(s.request.request_id, tok)
+                if tok in self._eos:
+                    self._finish(s, "eos")
+                    break
+                if len(s.generated) >= s.request.max_new_tokens:
+                    self._finish(s, "length")
+                    break
+        self.metrics.observe_decode(kept, elapsed)
+        self.metrics.observe_spec(1, kept)
+
     def _sp_dyn_one(self, sp: SamplingParams):
         """Single-row dynamic sampling params (prefill piece)."""
         return {
@@ -488,7 +632,11 @@ class ContinuousBatchingEngine:
         # pad writes past the prompt extend to the chunk/bucket boundary;
         # they land on the scratch page (zeroed block-table entries past the
         # allocated pages) or on masked future positions, so admission only
-        # budgets real tokens
+        # budgets real tokens. Speculative mode writes up to spec_k
+        # rejected-draft positions past the final token (overwritten before
+        # ever being read) — budget them so those writes stay on owned pages.
+        if self.speculative:
+            total_tokens += self.spec_k
         need = pages_required(total_tokens, self.page_size)
         if need > self.max_pages_per_seq:
             self._pending.popleft()
@@ -622,6 +770,13 @@ class ContinuousBatchingEngine:
                         if s is not None and s.prefill_done]
 
         # --- one fused decode step across all decoding slots ---
+        if decoding and self.speculative:
+            host_drafts = {s.slot: self._pld_draft_host(s) for s in decoding}
+            if any(d is not None for d in host_drafts.values()):
+                self._step_speculative(decoding, host_drafts)
+                return self._drain_finished()
+            # no slot drafted anything: a verify forward would cost a
+            # (k+1)-token step for one token per row — take the plain tick
         if decoding:
             t0 = time.perf_counter()
             toks = np.zeros((self.max_slots,), np.int32)
@@ -672,6 +827,11 @@ class ContinuousBatchingEngine:
         produced after its EOS (their KV writes land on pages that are
         freed with the request). Falls back to single ``step()`` when
         admissions or prefills need host decisions this tick."""
+        if self.speculative:
+            # each speculative round needs the host (drafts come from the
+            # just-accepted tokens), so rounds can't chain on device; one
+            # round already emits up to spec_k+1 tokens per sync
+            return self.step()
         pure_decode = (not self._pending
                        and all(s is None or s.prefill_done
                                for s in self._slots)

@@ -307,6 +307,7 @@ def forward_hidden(
     use_pallas: bool = True,
     attn_impl: str = "auto",
     uniform_decode: bool = False,
+    ragged_multi: bool = False,
     kv_window: Optional[int] = None,
     reduce_axis: Optional[str] = None,
     inputs_embeds: Optional[jax.Array] = None,
@@ -325,6 +326,11 @@ def forward_hidden(
     (force kernels — used by interpreter-mode tests).
     uniform_decode: caller promises all rows decode at the SAME position
     (aligned batch) — enables the single-tile in-place KV append kernel.
+    ragged_multi: caller promises each row's T positions are CONSECUTIVE
+    from a per-row start (``positions[:, j] == positions[:, 0] + j``) —
+    the speculative verify forward. On a paged cache this enables the
+    multi-query verify attention kernel (M = T*8 per kv head instead of
+    8) and the two-page ragged multi-token append.
     reduce_axis: set when running INSIDE jax.shard_map over a tensor-model
     mesh axis (parallel/tp_step.py): params/cache are per-shard local
     arrays (cfg is the LOCAL config: heads divided by tp) and the Megatron
@@ -356,6 +362,7 @@ def forward_hidden(
     use_paged_kernel = False
     use_contig_kernel = False
     use_chunk_kernel = False
+    use_verify_kernel = False
     if want_kernels:
         from qwen_inference_engine_tpu.ops.flash_attention import (
             flash_attention_supported,
@@ -369,6 +376,14 @@ def forward_hidden(
                 (B, T, Hq, Dh), (B, T, Hk, Dh))
         elif paged and T == 1:
             use_paged_kernel = paged_attention_supported(Dh, page_size)
+        elif paged and T > 1 and ragged_multi:
+            from qwen_inference_engine_tpu.ops.paged_attention import (
+                paged_verify_attention_supported,
+            )
+
+            use_verify_kernel = (
+                paged_verify_attention_supported(Dh, page_size, T, Hq, Hk)
+                and T <= page_size)
         elif not paged and T == 1:
             from qwen_inference_engine_tpu.ops.decode_attention import (
                 decode_attention_supported,
@@ -475,6 +490,35 @@ def forward_hidden(
                 k_c, v_c = kv_append_uniform(
                     cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
                 cache_c = dict(cache_c, k=k_c, v=v_c)
+        elif use_verify_kernel:
+            # speculative verify: T consecutive fresh rows per sequence,
+            # per-row starts — one two-page RMW per row (ops/kv_append.py)
+            from qwen_inference_engine_tpu.ops.kv_append import (
+                paged_append_ragged_t,
+            )
+
+            if cache_c.get("k_scale") is not None:
+                qk, sk = quantize_kv(k)
+                qv, sv = quantize_kv(v)
+                k_c, v_c = paged_append_ragged_t(
+                    cache_c["k"], cache_c["v"], qk, qv, positions[:, 0],
+                    block_tables, l, page_size=page_size)
+                # per-token scale slabs stay on the XLA scatter (page dim
+                # is the lane dim at < 128 lanes — not DMA-addressable —
+                # and they are ~256x smaller than the pages)
+                ks_c = paged_write_stacked(
+                    cache_c["k_scale"][..., None], l, sk[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                vs_c = paged_write_stacked(
+                    cache_c["v_scale"][..., None], l, sv[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                cache_c = dict(cache_c, k=k_c, v=v_c,
+                               k_scale=ks_c, v_scale=vs_c)
+            else:
+                k_c, v_c = paged_append_ragged_t(
+                    cache_c["k"], cache_c["v"], k, v, positions[:, 0],
+                    block_tables, l, page_size=page_size)
+                cache_c = dict(cache_c, k=k_c, v=v_c)
         elif use_paged_kernel:
             # ragged per-row paged append kernel — XLA lowers the per-row
             # scatter through block tables to a serial RMW (~6.8 ms/step
@@ -548,6 +592,27 @@ def forward_hidden(
 
                 attn = decode_attention_contiguous(
                     q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1)
+        elif use_verify_kernel:
+            # multi-query verify attention straight off the page pool:
+            # row b's token t sits at positions[b, t]; lens include the
+            # T fresh rows just appended
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.paged_attention import (
+                    paged_verify_attention_stacked_q8,
+                )
+
+                attn = paged_verify_attention_stacked_q8(
+                    q, cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"], block_tables,
+                    positions[:, 0] + T, page_size, l)
+            else:
+                from qwen_inference_engine_tpu.ops.paged_attention import (
+                    paged_verify_attention_stacked,
+                )
+
+                attn = paged_verify_attention_stacked(
+                    q, cache_c["k"], cache_c["v"], block_tables,
+                    positions[:, 0] + T, page_size, l)
         elif use_paged_kernel:
             # stacked page pool; the layer index rides in scalar prefetch
             # (slicing the pool copies it — see ops/decode_attention.py).

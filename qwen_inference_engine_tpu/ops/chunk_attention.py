@@ -33,7 +33,7 @@ def _chunk_kernel(start_ref, layer_ref, q_ref, k_ref, v_ref, o_ref,
                   acc_ref, m_ref, l_ref, *, block_s, scale, n_kv, G8, T):
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
-    start = start_ref[0]
+    start = start_ref[pl.program_id(0)]   # per-row start (ragged rows ok)
     end = start + T                      # keys valid in [0, end)
     TG = T * G8
     D = q_ref.shape[4]
@@ -91,7 +91,7 @@ def _chunk_attention(start, layer, qg, k_cache, v_cache, *, scale):
 
     def kv_index(b, sb, start_ref, layer_ref):
         # clamp to the last needed block: repeats skip the DMA
-        last = (start_ref[0] + T - 1) // bs
+        last = (start_ref[b] + T - 1) // bs
         return (layer_ref[0], b, 0, jnp.minimum(sb, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -136,7 +136,7 @@ def _chunk_kernel_q8(start_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref,
     probabilities exactly as in ops/decode_attention._decode_kernel_q8."""
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
-    start = start_ref[0]
+    start = start_ref[pl.program_id(0)]   # per-row start (ragged rows ok)
     end = start + T
     TG = T * G8
     D = q_ref.shape[4]
@@ -194,11 +194,11 @@ def _chunk_attention_q8(start, layer, qg, k_cache, v_cache, k_scale,
     TG = T * G8
 
     def kv_index(b, sb, start_ref, layer_ref):
-        last = (start_ref[0] + T - 1) // bs
+        last = (start_ref[b] + T - 1) // bs
         return (layer_ref[0], b, 0, jnp.minimum(sb, last), 0)
 
     def s_index(b, sb, start_ref, layer_ref):
-        last = (start_ref[0] + T - 1) // bs
+        last = (start_ref[b] + T - 1) // bs
         return (layer_ref[0], b, 0, jnp.minimum(sb, last))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -253,11 +253,13 @@ def chunk_attention_contiguous(
     k_cache: jax.Array,    # [L, B, Hk, S, D] (chunk's keys already written)
     v_cache: jax.Array,
     layer: jax.Array,      # scalar int32
-    start,                 # scalar: the chunk's first absolute position
+    start,                 # scalar or [B]: each row's first absolute position
     scale: float | None = None,
 ) -> jax.Array:
     """Returns [B, T, Hq, D] attention over the cache prefix [0, start+T)
-    with causal masking by absolute position."""
+    with causal masking by absolute position.  ``start`` may be per-row
+    (ragged rows — the speculative verify forward, where each sequence is
+    at its own length)."""
     B, T, Hq, D = q.shape
     Hk = k_cache.shape[2]
     G = Hq // Hk
@@ -267,9 +269,9 @@ def chunk_attention_contiguous(
     qg = q.reshape(B, T, Hk, G, D)
     if G < G8:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, G8 - G), (0, 0)))
+    starts = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (B,))
     out = _chunk_attention(
-        jnp.asarray(start, jnp.int32).reshape(1),
-        jnp.asarray(layer, jnp.int32).reshape(1),
+        starts, jnp.asarray(layer, jnp.int32).reshape(1),
         qg.astype(k_cache.dtype), k_cache, v_cache, scale=scale)
     return out[:, :, :, :G, :].reshape(B, T, Hq, D).astype(q.dtype)
 
@@ -296,9 +298,9 @@ def chunk_attention_contiguous_q8(
     qg = q.reshape(B, T, Hk, G, D)
     if G < G8:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, G8 - G), (0, 0)))
+    starts = jnp.broadcast_to(jnp.asarray(start, jnp.int32).reshape(-1), (B,))
     out = _chunk_attention_q8(
-        jnp.asarray(start, jnp.int32).reshape(1),
-        jnp.asarray(layer, jnp.int32).reshape(1),
+        starts, jnp.asarray(layer, jnp.int32).reshape(1),
         qg.astype(jnp.bfloat16), k_cache, v_cache, k_scale, v_scale,
         scale=scale)
     return out[:, :, :, :G, :].reshape(B, T, Hq, D).astype(q.dtype)

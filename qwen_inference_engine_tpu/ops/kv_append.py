@@ -297,6 +297,103 @@ def kv_append_all_uniform(k_cache, v_cache, k_new, v_new, position):
     )(pos, k_cache, v_cache, kn, vn)
 
 # ----------------------------------------------------------------------
+# Ragged multi-token CONTIGUOUS append: the speculative verify forward
+# writes T = k+1 consecutive fresh K/V rows per sequence, each sequence at
+# its OWN start position (rows diverge as different rows accept different
+# draft counts). One grid cell per batch row RMWs the tile band covering
+# its [start, start+T) window — the XLA scatter alternative serializes
+# per row (docs/PERF.md).
+# ----------------------------------------------------------------------
+
+def _ragged_t_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
+                     kc_out, vc_out, ktile, vtile, sem, *, T, band, span,
+                     max_s):
+    del kc_hbm, vc_hbm
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    p = pos_ref[b]
+
+    @pl.when(p >= 0)
+    def _():
+        t0 = pl.multiple_of(
+            jnp.minimum((p // band) * band, max_s - span), band)
+        cps = [
+            pltpu.make_async_copy(
+                kc_out.at[l, b, :, pl.ds(t0, span), :], ktile, sem.at[0]),
+            pltpu.make_async_copy(
+                vc_out.at[l, b, :, pl.ds(t0, span), :], vtile, sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+        row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape, dimension=1)
+        for o in range(T):           # T is small and static (spec_k+1)
+            sel = row == (p - t0 + o)
+            ktile[:] = jnp.where(sel, kn_ref[b, o][:, None, :], ktile[:])
+            vtile[:] = jnp.where(sel, vn_ref[b, o][:, None, :], vtile[:])
+
+        cps = [
+            pltpu.make_async_copy(
+                ktile, kc_out.at[l, b, :, pl.ds(t0, span), :], sem.at[0]),
+            pltpu.make_async_copy(
+                vtile, vc_out.at[l, b, :, pl.ds(t0, span), :], sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+
+def kv_append_ragged_t(k_cache, v_cache, k_new, v_new, positions, layer):
+    """Write ``k/v_new [B, T, Hk, D]`` at per-row start ``positions [B]``
+    (row b's tokens land at positions[b] .. positions[b]+T-1) into the
+    stacked head-major caches ``[L, B, Hk, S, D]``, in place. Rows with
+    positions < 0 are skipped. Caller guarantees positions[b]+T <= S."""
+    L, B, Hk, S, D = k_cache.shape
+    T = k_new.shape[1]
+    band = 32 if k_cache.dtype.itemsize == 1 else 8
+    span = (-(-T // band) + 1) * band   # window + one alignment band
+    kn = k_new.astype(k_cache.dtype)    # [B, T, Hk, D]
+    vn = v_new.astype(v_cache.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_cache
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hk, span, D), k_cache.dtype),
+            pltpu.VMEM((Hk, span, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ragged_t_kernel, T=T, band=band, span=span,
+                          max_s=S),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(positions.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), k_cache, v_cache, kn, vn)
+
+
+# ----------------------------------------------------------------------
 # Ragged per-row PAGED append: continuous batching decodes every slot at a
 # DIFFERENT position, which XLA lowers to a serial per-row scatter RMW
 # (~6.8 ms/step at 7B b112, docs/PERF.md). This kernel gives each batch
@@ -380,6 +477,125 @@ def paged_append_ragged(k_pages, v_pages, k_new, v_new, positions,
     return pl.pallas_call(
         functools.partial(_paged_ragged_kernel, page_size=page_size,
                           band=band),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(positions.astype(jnp.int32), block_tables.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), k_pages, v_pages, kn, vn)
+
+
+# ----------------------------------------------------------------------
+# Ragged multi-token PAGED append: the speculative verify forward writes
+# T = spec_k+1 consecutive fresh K/V rows per sequence, each row at its
+# OWN start position (rows diverge as different rows accept different
+# draft counts). One grid cell per batch row RMWs the tile band(s)
+# covering its [start, start+T) window — at most two pages (T <= page);
+# the XLA alternative scatters serially per row per token.
+# ----------------------------------------------------------------------
+
+def _paged_ragged_t_kernel(pos_ref, tables_ref, layer_ref, kc_hbm, vc_hbm,
+                           kn_ref, vn_ref, kc_out, vc_out, ktile, vtile,
+                           sem, *, T, page_size, band, span):
+    del kc_hbm, vc_hbm
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    p = pos_ref[b]
+
+    @pl.when(p >= 0)
+    def _():
+        slot0 = p % page_size
+
+        def rmw(page, t0, off):
+            # off = tile-relative slot of token 0; tokens whose in-page
+            # slot falls outside [t0, t0+span) never match the row iota,
+            # so page-boundary clipping is implicit.
+            cps = [
+                pltpu.make_async_copy(
+                    kc_out.at[l, page, :, pl.ds(t0, span), :], ktile,
+                    sem.at[0]),
+                pltpu.make_async_copy(
+                    vc_out.at[l, page, :, pl.ds(t0, span), :], vtile,
+                    sem.at[1]),
+            ]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+            row = jax.lax.broadcasted_iota(jnp.int32, ktile.shape, 1)
+            for o in range(T):  # T is small and static (spec_k+1)
+                sel = row == off + o
+                ktile[:] = jnp.where(sel, kn_ref[b, o][:, None, :], ktile[:])
+                vtile[:] = jnp.where(sel, vn_ref[b, o][:, None, :], vtile[:])
+            cps = [
+                pltpu.make_async_copy(
+                    ktile, kc_out.at[l, page, :, pl.ds(t0, span), :],
+                    sem.at[0]),
+                pltpu.make_async_copy(
+                    vtile, vc_out.at[l, page, :, pl.ds(t0, span), :],
+                    sem.at[1]),
+            ]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+
+        t0 = pl.multiple_of(
+            jnp.minimum((slot0 // band) * band, page_size - span), band)
+        rmw(tables_ref[b, p // page_size], t0, slot0 - t0)
+
+        @pl.when(slot0 + T > page_size)
+        def _():
+            # straddle: the tail tokens land at page-1 slots [0, ...)
+            rmw(tables_ref[b, p // page_size + 1], 0, slot0 - page_size)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def paged_append_ragged_t(k_pages, v_pages, k_new, v_new, positions,
+                          block_tables, layer, *, page_size):
+    """Write ``k/v_new [B, T, Hk, D]`` at per-row start ``positions [B]``
+    (row b's tokens land at positions[b] .. positions[b]+T-1) through
+    ``block_tables [B, max_pages]`` into the stacked page pools
+    ``[L, P, Hk, page, D]``, in place. Rows with positions < 0 are
+    skipped. Requires T <= page_size (window spans at most two pages);
+    the caller guarantees the straddle page is allocated (the scheduler's
+    admission budgets spec_k extra tokens per sequence)."""
+    L, P, Hk, PS, D = k_pages.shape
+    B, T = k_new.shape[:2]
+    if T > PS:
+        raise ValueError(f"append window T={T} exceeds page_size={PS}")
+    band = min(PS, 32 if k_pages.dtype.itemsize == 1 else 8)
+    span = min(PS, (T // band + 2) * band)
+    kn = k_new.astype(k_pages.dtype)
+    vn = v_new.astype(v_pages.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_pages
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hk, span, D), k_pages.dtype),
+            pltpu.VMEM((Hk, span, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_ragged_t_kernel, T=T, page_size=page_size,
+                          band=band, span=span),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),

@@ -38,7 +38,15 @@ _NEG_INF = -1e30
 
 
 def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
-                  o_ref, acc_ref, m_ref, l_ref, *, scale, page_size, n_kv):
+                  o_ref, acc_ref, m_ref, l_ref, *, scale, page_size, n_kv,
+                  n_t=1):
+    """n_t == 1: plain decode (one query per sequence). n_t > 1: the
+    speculative VERIFY step — each sequence scores n_t consecutive query
+    tokens (its last accepted token + the drafts) in one pass, so the qk/pv
+    dots run at M = n_t*G8 instead of 8, filling MXU M-passes that plain
+    decode wastes 15/16 of (docs/PERF.md). Query row r is token
+    t = r // G8 at absolute position seq_len - n_t + t; causality within
+    the fresh window is the per-row mask k_pos < seq_len - (n_t-1-t)."""
     b = pl.program_id(0)
     pt = pl.program_id(1)
     n_pt = pl.num_programs(1)
@@ -56,7 +64,12 @@ def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
     def _():
         k_pos = pt * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (GP, page_size), 1)
-        valid = k_pos < seq_len
+        if n_t == 1:
+            valid = k_pos < seq_len
+        else:
+            q_t = jax.lax.broadcasted_iota(
+                jnp.int32, (GP, page_size), 0) // (GP // n_t)
+            valid = k_pos < seq_len - (n_t - 1) + q_t
         for h in range(n_kv):  # all KV heads of the sequence in one cell
             q = q_ref[0, h]                                # [GP, D]
             k = k_ref[0, 0, h]                             # [page, D]
@@ -83,8 +96,10 @@ def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
         o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "page_size"))
-def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale, page_size):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "page_size", "n_t"))
+def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale,
+                page_size, n_t=1):
     """q [B, Hk, GP, D]; pools stacked [L, P, Hk, page, D]."""
     B, Hk, GP, D = q.shape
     pages_max = tables.shape[1]
@@ -95,7 +110,7 @@ def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale, page_size):
         return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0, 0)
 
     kernel = functools.partial(
-        _paged_kernel, scale=scale, page_size=page_size, n_kv=Hk)
+        _paged_kernel, scale=scale, page_size=page_size, n_kv=Hk, n_t=n_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, pages_max),
@@ -195,7 +210,7 @@ def paged_decode_attention(
 
 def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
                      ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                     scale, page_size, n_kv):
+                     scale, page_size, n_kv, n_t=1):
     b = pl.program_id(0)
     pt = pl.program_id(1)
     n_pt = pl.num_programs(1)
@@ -213,7 +228,12 @@ def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
     def _():
         k_pos = pt * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (GP, page_size), 1)
-        valid = k_pos < seq_len
+        if n_t == 1:
+            valid = k_pos < seq_len
+        else:  # verify step: per-query-token causal mask (see _paged_kernel)
+            q_t = jax.lax.broadcasted_iota(
+                jnp.int32, (GP, page_size), 0) // (GP // n_t)
+            valid = k_pos < seq_len - (n_t - 1) + q_t
         for h in range(n_kv):
             q = q_ref[0, h]                                # [GP, D] bf16
             k = k_ref[0, 0, h]                             # [page, D] int8
@@ -243,9 +263,10 @@ def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
         o_ref[0] = (acc_ref[:] / denom).reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "page_size"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "page_size", "n_t"))
 def _paged_bhgd_q8(q, k_pages, v_pages, k_scale, v_scale, tables, lens,
-                   layer, *, scale, page_size):
+                   layer, *, scale, page_size, n_t=1):
     B, Hk, GP, D = q.shape
     pages_max = tables.shape[1]
 
@@ -258,7 +279,8 @@ def _paged_bhgd_q8(q, k_pages, v_pages, k_scale, v_scale, tables, lens,
         return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0)
 
     kernel = functools.partial(
-        _paged_kernel_q8, scale=scale, page_size=page_size, n_kv=Hk)
+        _paged_kernel_q8, scale=scale, page_size=page_size, n_kv=Hk,
+        n_t=n_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, pages_max),
@@ -319,4 +341,96 @@ def paged_decode_attention_stacked_q8(
                          jnp.asarray(layer, jnp.int32).reshape(1),
                          scale=float(scale), page_size=page_size)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+# ----------------------------------------------------------------------
+# Multi-query (speculative VERIFY) attention off the page pool: each
+# sequence scores T = spec_k+1 consecutive fresh tokens (last accepted +
+# drafts) in one pass. Same grid/pipeline as decode, but the qk/pv dots
+# run at M = T*8 instead of 8 — the M-fill that plain decode can't get
+# (docs/PERF.md: decode wastes 15/16 of each 128-row MXU pass), and the
+# KV stream is read ONCE per T scored tokens. The reference scores one
+# token per call (layers/src/qwen_main.cu:250-404).
+# ----------------------------------------------------------------------
+
+_G8 = 8  # per-token query-row group (pad G up; sublane granule)
+
+
+def paged_verify_attention_supported(head_dim: int, page_size: int,
+                                     n_t: int, num_heads: int,
+                                     num_kv_heads: int) -> bool:
+    G = num_heads // num_kv_heads
+    return (paged_attention_supported(head_dim, page_size)
+            and 2 <= n_t <= 16 and G <= _G8)
+
+
+def _prep_q_multi(q, Hk):
+    """[B, T, Hq, D] -> [B, Hk, T*G8, D] (query rows grouped per token)."""
+    B, T, Hq, D = q.shape
+    G = Hq // Hk
+    qh = q.reshape(B, T, Hk, G, D)
+    if G != _G8:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, _G8 - G), (0, 0)))
+    return qh.transpose(0, 2, 1, 3, 4).reshape(B, Hk, T * _G8, D), G
+
+
+def _unprep_o(out, B, T, Hk, G, D):
+    out = out.reshape(B, Hk, T, _G8, D).transpose(0, 2, 1, 3, 4)
+    return out[:, :, :, :G, :].reshape(B, T, Hk * G, D)
+
+
+def paged_verify_attention_stacked(
+    q: jax.Array,             # [B, T, Hq, D] — T consecutive fresh tokens
+    k_pages: jax.Array,       # [L, P, Hk, page, D] stacked page pool
+    v_pages: jax.Array,
+    block_tables: jax.Array,  # [B, max_pages] int32
+    seq_lens: jax.Array,      # [B] int32 — valid kv INCLUDING the T fresh
+    page_size: int,
+    layer,
+    scale: float | None = None,
+) -> jax.Array:
+    """Causal GQA attention for T fresh tokens per row over the page pool.
+
+    Row b's token t sits at absolute position ``seq_lens[b] - T + t`` and
+    attends keys [0, that position]. The fresh K/V must already be written
+    to the pages (ops/kv_append.paged_append_ragged_t). Returns
+    [B, T, Hq, D]."""
+    B, T, Hq, D = q.shape
+    Hk = k_pages.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    qh, G = _prep_q_multi(q, Hk)
+    out = _paged_bhgd(qh.astype(k_pages.dtype), k_pages, v_pages,
+                      block_tables.astype(jnp.int32),
+                      seq_lens.astype(jnp.int32),
+                      jnp.asarray(layer, jnp.int32).reshape(1),
+                      scale=float(scale), page_size=page_size, n_t=T)
+    return _unprep_o(out, B, T, Hk, G, D).astype(q.dtype)
+
+
+def paged_verify_attention_stacked_q8(
+    q: jax.Array,             # [B, T, Hq, D]
+    k_pages: jax.Array,       # [L, P, Hk, page, D] int8
+    v_pages: jax.Array,
+    k_scale: jax.Array,       # [L, P, Hk, page] f32
+    v_scale: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    page_size: int,
+    layer,
+    scale: float | None = None,
+) -> jax.Array:
+    """INT8-KV variant of paged_verify_attention_stacked."""
+    B, T, Hq, D = q.shape
+    Hk = k_pages.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    qh, G = _prep_q_multi(q, Hk)
+    out = _paged_bhgd_q8(qh.astype(jnp.bfloat16), k_pages, v_pages,
+                         k_scale, v_scale,
+                         block_tables.astype(jnp.int32),
+                         seq_lens.astype(jnp.int32),
+                         jnp.asarray(layer, jnp.int32).reshape(1),
+                         scale=float(scale), page_size=page_size, n_t=T)
+    return _unprep_o(out, B, T, Hk, G, D).astype(q.dtype)
 

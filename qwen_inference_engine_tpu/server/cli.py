@@ -202,6 +202,14 @@ def main(argv=None) -> int:
     s.add_argument("--no-prefix-cache", action="store_true",
                    help="disable automatic prefix caching (page reuse "
                         "across requests sharing a prompt prefix)")
+    s.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding in the "
+                        "scheduler tick (1..k+1 tokens per forward; greedy "
+                        "requests stay token-identical)")
+    s.add_argument("--spec-k", type=int, default=4,
+                   help="drafted tokens per speculation round")
+    s.add_argument("--spec-ngram", type=int, default=3,
+                   help="suffix length for prompt-lookup draft matching")
     s.set_defaults(fn=cmd_serve)
 
     qz = sub.add_parser("quantize",

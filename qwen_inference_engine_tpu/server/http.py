@@ -57,7 +57,10 @@ class Server:
             kv_dtype={8: jnp.int8, 32: jnp.float32}.get(
                 args.kv_bits, jnp.bfloat16),
             sampling=self.default_sp, seed=args.seed,
-            prefix_cache=not getattr(args, "no_prefix_cache", False))
+            prefix_cache=not getattr(args, "no_prefix_cache", False),
+            speculative=getattr(args, "speculative", False),
+            spec_k=getattr(args, "spec_k", 4),
+            spec_ngram=getattr(args, "spec_ngram", 3))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}
         self._next_id = 0

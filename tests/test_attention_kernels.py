@@ -471,3 +471,192 @@ def test_chunked_prefill_with_chunk_kernel_matches_xla():
     # kernels use bf16 MXU dots (pv / scores) vs the f32 einsum path
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("G,page_size,T", [(7, 16, 5), (4, 8, 4), (8, 16, 2)])
+def test_paged_verify_attention_matches_oracle(G, page_size, T):
+    """Multi-query (speculative verify) paged attention vs the einsum
+    oracle: each row scores T consecutive fresh tokens at its own ragged
+    start, causal by absolute position."""
+    import qwen_inference_engine_tpu.ops.paged_attention as pa
+    from qwen_inference_engine_tpu.kvcache.cache import paged_write
+
+    B, Hk, D = 3, 2, 128
+    Hq = G * Hk
+    max_pages = 4
+    P = B * max_pages + 1
+    rng = np.random.default_rng(31)
+    # post-append lens (include the T fresh tokens); ragged across rows,
+    # one crossing a page boundary inside the fresh window
+    lens = jnp.asarray([T + 2, page_size * 2 + 1, page_size * 3], jnp.int32)
+
+    pages_k = jnp.zeros((P, Hk, page_size, D), jnp.float32)
+    pages_v = jnp.zeros((P, Hk, page_size, D), jnp.float32)
+    tables = jnp.asarray(
+        [[1 + b * max_pages + i for i in range(max_pages)] for b in range(B)],
+        jnp.int32)
+    S = max_pages * page_size
+    kfull = jnp.asarray(rng.normal(size=(B, S, Hk, D)).astype(np.float32))
+    vfull = jnp.asarray(rng.normal(size=(B, S, Hk, D)).astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    pages_k = paged_write(pages_k, kfull, pos, tables, page_size)
+    pages_v = paged_write(pages_v, vfull, pos, tables, page_size)
+
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)).astype(np.float32))
+    # oracle: token t of row b sits at absolute position lens[b]-T+t
+    k_view = paged_read(pages_k, tables)
+    v_view = paged_read(pages_v, tables)
+    positions = (lens - T)[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    oracle = gqa_attention_kmajor(q, k_view, v_view, positions)
+
+    assert pa.paged_verify_attention_supported(D, page_size, T, Hq, Hk)
+    with interpret_pallas(pa):
+        got = pa.paged_verify_attention_stacked(
+            q, pages_k[None], pages_v[None], tables, lens, page_size, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_verify_attention_q8_matches_oracle():
+    """INT8-KV verify kernel vs the oracle over the dequantized view."""
+    import qwen_inference_engine_tpu.ops.paged_attention as pa
+    from qwen_inference_engine_tpu.kvcache.cache import paged_write
+    from qwen_inference_engine_tpu.quant.kv_quant import quantize_kv
+
+    B, Hk, G, D, page_size, T = 2, 2, 4, 128, 16, 4
+    Hq = G * Hk
+    max_pages = 3
+    P = B * max_pages + 1
+    rng = np.random.default_rng(37)
+    lens = jnp.asarray([T + 3, page_size * 2 + 2], jnp.int32)
+
+    tables = jnp.asarray(
+        [[1 + b * max_pages + i for i in range(max_pages)] for b in range(B)],
+        jnp.int32)
+    S = max_pages * page_size
+    kfull = jnp.asarray(rng.normal(size=(B, S, Hk, D)).astype(np.float32))
+    vfull = jnp.asarray(rng.normal(size=(B, S, Hk, D)).astype(np.float32))
+    qk, sk = quantize_kv(kfull)
+    qv, sv = quantize_kv(vfull)
+    pages_k = jnp.zeros((P, Hk, page_size, D), jnp.int8)
+    pages_v = jnp.zeros((P, Hk, page_size, D), jnp.int8)
+    ks = jnp.zeros((P, Hk, page_size), jnp.float32)
+    vs = jnp.zeros((P, Hk, page_size), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    pages_k = paged_write(pages_k, qk, pos, tables, page_size)
+    pages_v = paged_write(pages_v, qv, pos, tables, page_size)
+    ks = paged_write(ks[..., None], sk[..., None], pos, tables, page_size)[..., 0]
+    vs = paged_write(vs[..., None], sv[..., None], pos, tables, page_size)[..., 0]
+
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)).astype(np.float32))
+    # oracle over the dequantized gathered view
+    k_deq = kfull * 0
+    k_deq = (qk.astype(np.float32) * np.asarray(sk)[..., None])
+    v_deq = (qv.astype(np.float32) * np.asarray(sv)[..., None])
+    k_view = jnp.asarray(k_deq).transpose(0, 2, 1, 3)
+    v_view = jnp.asarray(v_deq).transpose(0, 2, 1, 3)
+    positions = (lens - T)[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    oracle = gqa_attention_kmajor(
+        q.astype(jnp.bfloat16).astype(jnp.float32), k_view, v_view, positions)
+
+    with interpret_pallas(pa):
+        got = pa.paged_verify_attention_stacked_q8(
+            q, pages_k[None], pages_v[None], ks[None], vs[None], tables,
+            lens, page_size, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("T,PS", [(5, 16), (4, 8), (8, 8)])
+def test_paged_append_ragged_t_matches_scatter(T, PS):
+    """Multi-token ragged paged append vs the XLA scatter, including rows
+    whose window straddles a page boundary and skipped rows."""
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.kvcache.cache import paged_write_stacked
+
+    L, P, Hk, D = 2, 14, 2, 128
+    B, max_pages = 3, 4
+    rng = np.random.default_rng(41)
+    kp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, T, Hk, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, T, Hk, D)), jnp.float32)
+    tables = jnp.asarray(rng.permutation(np.arange(1, P))[: B * max_pages]
+                         .reshape(B, max_pages), jnp.int32)
+    # row 0 mid-page, row 1 straddles a page boundary, row 2 inactive
+    positions = jnp.asarray([2, PS - T // 2 - 1, -1], jnp.int32)
+    layer = 1
+
+    active = positions >= 0
+    pos2d = (jnp.maximum(positions, 0)[:, None]
+             + jnp.arange(T, dtype=jnp.int32)[None])
+    kp_ref = paged_write_stacked(
+        kp, layer, jnp.where(active[:, None, None, None], kn, 0),
+        pos2d, jnp.where(active[:, None], tables, 0), PS)
+    vp_ref = paged_write_stacked(
+        vp, layer, jnp.where(active[:, None, None, None], vn, 0),
+        pos2d, jnp.where(active[:, None], tables, 0), PS)
+
+    with interpret_pallas(ka):
+        kp2, vp2 = ka.paged_append_ragged_t(kp, vp, kn, vn, positions,
+                                            tables, layer, page_size=PS)
+    # the inactive row wrote into scratch page 0 in the oracle; the kernel
+    # skips it — compare non-scratch pages only
+    np.testing.assert_allclose(np.asarray(kp2[:, 1:]), np.asarray(kp_ref[:, 1:]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp2[:, 1:]), np.asarray(vp_ref[:, 1:]),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kv_dtype", ["f32", "int8"])
+def test_verify_forward_with_kernels_matches_xla(kv_dtype):
+    """The speculative verify forward (paged cache, ragged per-row starts,
+    T consecutive fresh tokens) with the verify attention + ragged-T
+    append kernels (forced via attn_impl='pallas', interpret mode) must
+    match the XLA scatter/gather path."""
+    import qwen_inference_engine_tpu.ops.paged_attention as pa
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import PagedKVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        forward_hidden,
+        init_params,
+        prefill,
+    )
+
+    cfg = tiny_config(num_heads=4, num_kv_heads=2, head_dim=128,
+                      hidden_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    B, T, PS = 2, 4, 8
+    num_pages, max_pages = 17, 8
+    dtype = jnp.float32 if kv_dtype == "f32" else jnp.int8
+    rng = np.random.default_rng(11)
+    tables = jnp.asarray(
+        [[1 + b * max_pages + i for i in range(max_pages)] for b in range(B)],
+        jnp.int32)
+    # ragged history; row 1's fresh window straddles a page boundary
+    hist = np.asarray([10, PS * 2 - 2], np.int32)
+    ptoks = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (B, int(hist.max()))), jnp.int32)
+
+    def build_cache():
+        cache = PagedKVCache.create(cfg.num_layers, num_pages, PS,
+                                    cfg.num_kv_heads, cfg.head_dim,
+                                    dtype=dtype)
+        _, cache = prefill(params, cfg, ptoks, jnp.asarray(hist), cache,
+                           block_tables=tables, attn_impl="xla")
+        return cache
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    positions = jnp.asarray(hist)[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+
+    ref, _ = forward_hidden(params, cfg, toks, positions, build_cache(),
+                            block_tables=tables, ragged_multi=True,
+                            attn_impl="xla")
+    with interpret_pallas(pa), interpret_pallas(ka):
+        got, _ = forward_hidden(params, cfg, toks, positions, build_cache(),
+                                block_tables=tables, ragged_multi=True,
+                                attn_impl="pallas")
+    tol = 1e-2 if kv_dtype == "f32" else 5e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=tol)

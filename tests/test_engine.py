@@ -333,6 +333,52 @@ def test_repetition_penalty_active_in_serving():
         assert penalized != plain
 
 
+def test_speculative_scheduler_greedy_token_identical():
+    """Speculative mode in the paged scheduler must be token-identical to
+    plain greedy serving, while actually accepting drafts (this prompt's
+    greedy chain repeats a bigram continuation, so prompt-lookup hits)."""
+    prompts = {0: [5, 9, 17, 3], 1: [40, 41, 42, 43]}
+    expect = {rid: _manual_greedy(p, 20) for rid, p in prompts.items()}
+
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+        speculative=True, spec_k=4, spec_ngram=2,
+    )
+    for rid, p in prompts.items():
+        cb.submit(Request(request_id=rid, prompt=p, max_new_tokens=20))
+    by_id = {f.request_id: f for f in cb.run_to_completion()}
+    for rid in prompts:
+        got = by_id[rid].token_ids
+        assert got == expect[rid][: len(got)] and len(got) == min(
+            20, len(expect[rid])), (rid, got, expect[rid])
+    snap = cb.metrics.snapshot()
+    assert snap["spec_rounds"] > 0
+    # the repetitive chain must yield real multi-token rounds
+    assert snap["spec_tokens_per_forward"] > 1.0, snap
+    cb.check_page_invariants()
+
+
+def test_speculative_scheduler_mixed_sampling_runs():
+    """Speculative serving with a stochastic default and a greedy request
+    in the same batch: greedy row stays exact, every request terminates."""
+    prompt = [5, 9, 17, 3]
+    expect = _manual_greedy(prompt, 12)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16,
+        sampling=SamplingParams(temperature=1.2, top_k=50),
+        kv_dtype=jnp.float32, speculative=True, spec_k=3, spec_ngram=2,
+    )
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=12,
+                      sampling=SamplingParams(greedy=True)))
+    cb.submit(Request(request_id=1, prompt=[7, 8, 9], max_new_tokens=12))
+    by_id = {f.request_id: f for f in cb.run_to_completion()}
+    got = by_id[0].token_ids
+    assert got == expect[: len(got)], (got, expect)
+    assert len(by_id[1].token_ids) <= 12
+
+
 def test_scheduler_fuzz_invariants():
     """Randomized admit/step/cancel churn: the page allocator must never
     double-book, slots and tables must stay consistent, every request

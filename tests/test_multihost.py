@@ -10,6 +10,7 @@ the single-process 8-device run of the identical program.
 """
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -26,12 +27,7 @@ def _free_port() -> int:
 
 
 def _spawn_workers(root, worker):
-    """One coordinated 2-worker run; returns the two stdouts or raises.
-
-    Retried once by the caller: the coordinator port is grabbed then
-    released before the workers bind it (unavoidable race with other
-    suite processes), and a loaded machine can push two cold JAX inits
-    past the timeout — both are environment flakes, not product bugs."""
+    """One coordinated 2-worker run; returns the two stdouts or raises."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -59,17 +55,21 @@ def _spawn_workers(root, worker):
 def test_two_process_distributed_matches_single_process(devices8):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
-    try:
-        outs = _spawn_workers(root, worker)
-    except (subprocess.TimeoutExpired, AssertionError):
-        outs = _spawn_workers(root, worker)
+    outs = _spawn_workers(root, worker)
 
     sums = []
     for i, out in enumerate(outs):
         line = [ln for ln in out.splitlines() if "checksum=" in ln]
         assert line, f"proc{i} printed no checksum: {out}"
         assert f"devices=8" in line[0] and "local=4" in line[0], line[0]
-        sums.append(float(line[0].split("checksum=")[1]))
+        # Gloo writes progress messages to the same fd concurrently with the
+        # worker's print, so the checksum may have trailing garbage ON THE
+        # SAME LINE (the historical "flake" was float() choking on it) —
+        # extract just the leading numeric token
+        m = re.match(r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?",
+                     line[0].split("checksum=")[1])
+        assert m, line[0]
+        sums.append(float(m.group(0)))
     assert sums[0] == pytest.approx(sums[1], rel=1e-6)
 
     # single-process baseline on the in-process 8-device mesh
