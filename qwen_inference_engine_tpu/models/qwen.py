@@ -37,7 +37,11 @@ from qwen_inference_engine_tpu.ops.attention import (
     gqa_attention,
     gqa_attention_kmajor,
 )
-from qwen_inference_engine_tpu.ops.linear import Linear, apply_linear
+from qwen_inference_engine_tpu.ops.linear import (
+    Linear,
+    QuantLinear,
+    apply_linear,
+)
 from qwen_inference_engine_tpu.ops.norms import qk_norm, rms_norm
 from qwen_inference_engine_tpu.ops.rope import apply_rope, precompute_rope
 from qwen_inference_engine_tpu.quant.kv_quant import dequantize_kv, quantize_kv
@@ -137,6 +141,20 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
         b = jnp.zeros((L, out), dtype) if bias else None
         return QuantLinear(q=q, scales=scales, b=b, bits=bits, group_size=gs)
 
+    def qexperts(kin: int, out: int) -> QuantLinear:
+        """Random packed expert stack [L, E, kin/pack, out] (cf. qlin)."""
+        E = cfg.num_experts
+        gs = group_size
+        while gs > 2 and (kin % gs or (bits == 4 and (kin // gs) % 2)):
+            gs //= 2
+        lohi = (-128, 128) if bits == 4 else (-qmax, qmax + 1)
+        q = jax.random.randint(next(ks), (L, E, kin // pack, out), *lohi,
+                               dtype=jnp.int8)
+        scales = jnp.full((L, E, kin // gs, out), (kin ** -0.5) / qmax,
+                          jnp.float32)
+        return QuantLinear(q=q, scales=scales, b=None, bits=bits,
+                           group_size=gs)
+
     bias = cfg.attention_bias
     layers = {
         "input_norm": jnp.ones((L, D), dtype),
@@ -145,10 +163,19 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
         "v": qlin(D, Kd, bias),
         "o": qlin(Qd, D, False),
         "post_norm": jnp.ones((L, D), dtype),
-        "gate": qlin(D, F, False),
-        "up": qlin(D, F, False),
-        "down": qlin(F, D, False),
     }
+    if cfg.is_moe:
+        E, Fm = cfg.num_experts, cfg.moe_intermediate_size
+        layers["router"] = Linear(
+            (jax.random.normal(next(ks), (L, D, E), jnp.float32)
+             * D ** -0.5).astype(dtype))
+        layers["moe_gate"] = qexperts(D, Fm)
+        layers["moe_up"] = qexperts(D, Fm)
+        layers["moe_down"] = qexperts(Fm, D)
+    else:
+        layers["gate"] = qlin(D, F, False)
+        layers["up"] = qlin(D, F, False)
+        layers["down"] = qlin(F, D, False)
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
@@ -237,18 +264,46 @@ def _read_layer_cache(cslices: dict, block_tables, page_size: Optional[int], dty
 # Forward
 # ----------------------------------------------------------------------
 
-def moe_mlp(h: jax.Array, router: jax.Array, w_gate: jax.Array,
-            w_up: jax.Array, w_down: jax.Array, top_k: int,
-            norm_topk: bool) -> jax.Array:
+def _expert_matmul(xs: jax.Array, w, group_sizes: jax.Array, layer,
+                   use_pallas: bool) -> jax.Array:
+    """Grouped matmul over expert-sorted rows: bf16 stacks ``[L, E, K, N]``
+    go through ``jax.lax.ragged_dot`` on the [layer] slice; quantized
+    stacks (QuantLinear with an expert axis, quant/quantize.py) go through
+    the Pallas grouped dequant matmul (ops/grouped_matmul.py) which
+    scalar-prefetches ``layer`` — no per-step slice copy of the expert
+    weights."""
+    if isinstance(w, QuantLinear):
+        from qwen_inference_engine_tpu.ops.grouped_matmul import (
+            grouped_quant_matmul,
+            grouped_quant_matmul_supported,
+        )
+
+        if use_pallas and grouped_quant_matmul_supported(w, xs.shape[0]):
+            return grouped_quant_matmul(xs, w, group_sizes, layer)
+        import dataclasses as _dc
+
+        from qwen_inference_engine_tpu.ops.linear import dequantize
+
+        wl = dequantize(_dc.replace(w, q=w.q[layer], scales=w.scales[layer],
+                                    b=None))            # [E, K_pad, N]
+        wl = wl[:, : xs.shape[-1], :]
+        return jax.lax.ragged_dot(xs, wl.astype(xs.dtype), group_sizes)
+    return jax.lax.ragged_dot(xs, w[layer].astype(xs.dtype), group_sizes)
+
+
+def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
+            top_k: int, norm_topk: bool, layer=0,
+            use_pallas: bool = False) -> jax.Array:
     """Qwen3-MoE sparse MLP for one layer.
 
-    h [N, D]; router [D, E]; w_gate/up [E, D, Fm]; w_down [E, Fm, D].
-    Top-k routing with (optionally renormalized) softmax weights, computed
-    as a GROUPED matmul: the N·k (token, expert) pairs are sorted by
-    expert id and fed to ``jax.lax.ragged_dot`` (TPU grouped GEMM), so
-    each expert's weights stream exactly once — no dense all-expert
-    einsum (that would waste E/k = 16x the FLOPs at Qwen3-30B-A3B) and no
-    capacity-factor token dropping (exact routing, like the HF reference).
+    h [N, D]; router [D, E]; w_gate/up ``[L, E, D, Fm]`` (bf16 stack or
+    quantized, see _expert_matmul); w_down ``[L, E, Fm, D]``; ``layer``
+    the (traced) layer index. Top-k routing with (optionally renormalized)
+    softmax weights, computed as a GROUPED matmul: the N·k (token, expert)
+    pairs are sorted by expert id so each expert's weights stream exactly
+    once — no dense all-expert einsum (that would waste E/k = 16x the
+    FLOPs at Qwen3-30B-A3B) and no capacity-factor token dropping (exact
+    routing, like the HF reference).
     """
     N, D = h.shape
     E = router.shape[-1]
@@ -265,11 +320,11 @@ def moe_mlp(h: jax.Array, router: jax.Array, w_gate: jax.Array,
     xs = jnp.take(h, tok, axis=0)                      # [N*k, D]
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
-    g = jax.lax.ragged_dot(xs, w_gate.astype(xs.dtype), group_sizes)
-    u = jax.lax.ragged_dot(xs, w_up.astype(xs.dtype), group_sizes)
+    g = _expert_matmul(xs, w_gate, group_sizes, layer, use_pallas)
+    u = _expert_matmul(xs, w_up, group_sizes, layer, use_pallas)
     mid = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32))
-    y = jax.lax.ragged_dot(mid.astype(xs.dtype), w_down.astype(xs.dtype),
-                           group_sizes)                # [N*k, D]
+    y = _expert_matmul(mid.astype(xs.dtype), w_down, group_sizes, layer,
+                       use_pallas)                     # [N*k, D]
     w = jnp.take(topw.reshape(-1), order)[:, None].astype(y.dtype)
     out = jnp.zeros((N, D), y.dtype).at[tok].add(y * w)
     return out
@@ -672,15 +727,17 @@ def forward_hidden(
         x = x + o
         h = rms_norm(x, lp["post_norm"], eps)
         if cfg.is_moe:
-            # expert weights are indexed at [l] (a dynamic-slice copy per
-            # layer inside the scan — acceptable for parity; the stacked
-            # scalar-prefetch trick needs a Pallas grouped matmul, ROADMAP)
+            # stacked expert weights ride through unsliced; quantized
+            # experts reach the Pallas grouped matmul which prefetches l
+            # (ops/grouped_matmul.py — no per-step slice copy); bf16
+            # experts still slice at [l] inside _expert_matmul
             d = moe_mlp(
                 h.reshape(B * T, -1),
                 layers_all["router"].w[l],
-                layers_all["moe_gate"][l], layers_all["moe_up"][l],
-                layers_all["moe_down"][l],
+                layers_all["moe_gate"], layers_all["moe_up"],
+                layers_all["moe_down"],
                 cfg.num_experts_per_tok, cfg.norm_topk_prob,
+                layer=l, use_pallas=want_kernels,
             ).reshape(B, T, -1).astype(x.dtype)
         elif use_mlp_kernel:
             # single-pass SwiGLU kernel: gate/up/h intermediates stay in

@@ -139,7 +139,16 @@ def quantize_params(params: dict, qcfg: QuantConfig) -> dict:
     for name, leaf in list(layers.items()):
         if name == "router":
             continue  # tiny, accuracy-critical (MoE top-k selection)
-        if isinstance(leaf, Linear):
+        if name in ("moe_gate", "moe_up", "moe_down"):
+            # expert stacks [L, E, K, N] — for Qwen3-MoE the experts ARE
+            # the model (30B-A3B: ~29B of 30.5B params), so they get the
+            # same group-wise treatment as dense projections; the runtime
+            # side is ops/grouped_matmul.py (quantize_linear's lead-dims
+            # handling covers the extra expert axis)
+            layers[name] = quantize_linear(Linear(w=leaf), qcfg.bits,
+                                           qcfg.group_size,
+                                           pad_free=qcfg.pad_free)
+        elif isinstance(leaf, Linear):
             layers[name] = quantize_linear(leaf, qcfg.bits, qcfg.group_size,
                                            pad_free=qcfg.pad_free)
     out["layers"] = layers

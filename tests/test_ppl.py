@@ -75,3 +75,19 @@ def test_pad_free_quantization_ppl_matches_padded():
     pa = perplexity(a, CFG, TOKENS, seq_len=128)
     pb = perplexity(b, CFG, TOKENS, seq_len=128)
     assert abs(pa - pb) / pa < 0.02, (pa, pb)
+
+
+@pytest.mark.parametrize("bits,limit", [(8, 0.03), (4, 0.15)])
+def test_quantized_moe_ppl_delta(bits, limit):
+    """Δppl gate with the EXPERT stacks quantized too (quantize_params
+    covers moe_gate/up/down — for Qwen3-MoE the experts are ~95% of all
+    params, so this is the gate that matters; VERDICT r2 item #2)."""
+    cfg = tiny_config(num_experts=4, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    base = perplexity(params, cfg, TOKENS, seq_len=128)
+    qparams = quantize_params(params, QuantConfig(bits=bits, group_size=32,
+                                                  pad_free=True))
+    qppl = perplexity(qparams, cfg, TOKENS, seq_len=128)
+    rel = abs(qppl - base) / base
+    assert rel < limit, (base, qppl, rel)
