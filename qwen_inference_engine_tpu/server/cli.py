@@ -202,6 +202,9 @@ def main(argv=None) -> int:
     s.add_argument("--no-prefix-cache", action="store_true",
                    help="disable automatic prefix caching (page reuse "
                         "across requests sharing a prompt prefix)")
+    s.add_argument("--step-ticks", type=int, default=8,
+                   help="decode ticks chained on device per host sync in "
+                        "the serving loop (1 = sync every token)")
     s.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative decoding in the "
                         "scheduler tick (1..k+1 tokens per forward; greedy "

@@ -61,6 +61,7 @@ class Server:
             speculative=getattr(args, "speculative", False),
             spec_k=getattr(args, "spec_k", 4),
             spec_ngram=getattr(args, "spec_ngram", 3))
+        self._step_ticks = max(1, getattr(args, "step_ticks", 8))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}
         self._next_id = 0
@@ -85,7 +86,12 @@ class Server:
                 continue
             try:
                 with self._lock:
-                    finished = self.engine.step()
+                    # chain decode ticks on device, one host sync per batch
+                    # (engine.step_batch; it degrades to a single step()
+                    # whenever admissions/prefills need host decisions, so
+                    # a freshly submitted request is admitted within one
+                    # batch window)
+                    finished = self.engine.step_batch(self._step_ticks)
                     for f in finished:
                         w = self._waiters.pop(f.request_id, None)
                         if w is not None:
