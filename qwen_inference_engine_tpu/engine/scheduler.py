@@ -192,6 +192,11 @@ class ContinuousBatchingEngine:
         self._page_refs: Dict[int, int] = {}
         self._prefix_index: Dict[int, tuple] = {}   # hash -> (page, parent, blk)
         self._page_hash: Dict[int, int] = {}        # registered page -> hash
+        # parent hash -> {page: blk}: the registered continuations of a
+        # prefix, searched for PARTIAL tail-page reuse (a cached page whose
+        # leading rows match the prompt's tail is copied into a fresh page
+        # and only the remainder prefills)
+        self._prefix_children: Dict[Optional[int], Dict[int, tuple]] = {}
         from collections import OrderedDict
         self._cached_free: "OrderedDict[int, int]" = OrderedDict()  # page->hash
         self._block_tables = np.zeros((max_slots, max_pages_per_seq), np.int32)
@@ -534,6 +539,12 @@ class ContinuousBatchingEngine:
         if self._free_pages:
             return self._free_pages.pop()
         page, h = self._cached_free.popitem(last=False)
+        parent = self._prefix_index[h][1]
+        kids = self._prefix_children.get(parent)
+        if kids is not None:
+            kids.pop(page, None)
+            if not kids:
+                del self._prefix_children[parent]
         del self._prefix_index[h]
         del self._page_hash[page]
         return page
@@ -552,10 +563,11 @@ class ContinuousBatchingEngine:
         else:
             self._free_pages.append(page)
 
-    def _prefix_lookup(self, prompt: List[int]) -> List[int]:
+    def _prefix_lookup(self, prompt: List[int]):
         """Longest chain of registered pages matching the prompt's leading
-        full pages. Capped at prompt-1 tokens so at least one token always
-        runs through prefill (the last-token logits must be computed)."""
+        full pages (capped at prompt-1 tokens so at least one token always
+        runs through prefill — the last-token logits must be computed).
+        Returns (hit pages, chain hash where the match stopped)."""
         ps = self.page_size
         hits: List[int] = []
         parent = None
@@ -569,7 +581,49 @@ class ContinuousBatchingEngine:
                 break
             hits.append(entry[0])
             parent = h
-        return hits
+        return hits, parent
+
+    def _partial_lookup(self, prompt: List[int], n_hits: int, parent):
+        """Best PARTIAL continuation of the matched chain: a registered
+        child page of ``parent`` whose leading rows match the prompt's
+        tail. Returns (source page, matched token count) or (None, 0).
+        The match is content-verified row by row (no hash shortcuts — a
+        partial page has no chain hash of its own)."""
+        ps = self.page_size
+        rest = prompt[n_hits * ps:]
+        # leave at least one prompt token for prefill
+        cap = min(len(prompt) - 1 - n_hits * ps, ps)
+        best_page, best_t = None, 0
+        for page, blk in self._prefix_children.get(parent, {}).items():
+            t = 0
+            for a, b in zip(blk, rest[:cap]):
+                if a != b:
+                    break
+                t += 1
+            if t > best_t:
+                best_page, best_t = page, t
+        return best_page, best_t
+
+    def _jit_copy_page(self):
+        """One whole-page KV copy (src page -> dst page, all layers).
+        Rows past the partial match are stale, but prefill overwrites any
+        row before attention can read it (positions >= prefilled are never
+        attended until written)."""
+        key = "copy_page"
+        if key not in self._jit_cache:
+            def fn(cache, src, dst):
+                kp = cache.k_pages.at[:, dst].set(cache.k_pages[:, src])
+                vp = cache.v_pages.at[:, dst].set(cache.v_pages[:, src])
+                upd = dict(k_pages=kp, v_pages=vp)
+                if cache.k_scale is not None:
+                    upd["k_scale"] = cache.k_scale.at[:, dst].set(
+                        cache.k_scale[:, src])
+                    upd["v_scale"] = cache.v_scale.at[:, dst].set(
+                        cache.v_scale[:, src])
+                return dataclasses.replace(cache, **upd)
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._jit_cache[key]
 
     def _register_pages(self, run: _Running) -> None:
         """On completion, register this run's full-content pages so future
@@ -592,6 +646,7 @@ class ContinuousBatchingEngine:
             if h not in self._prefix_index:      # first writer wins
                 self._prefix_index[h] = (page, parent, blk)
                 self._page_hash[page] = h
+                self._prefix_children.setdefault(parent, {})[page] = blk
             parent = h
 
     def check_page_invariants(self) -> None:
@@ -620,10 +675,31 @@ class ContinuousBatchingEngine:
                 assert p in self._page_hash, f"unregistered page {p} shared"
 
     # ------------------------------------------------------------------
+    _ADMIT_WINDOW = 8
+
     def _try_admit(self) -> bool:
-        """Admit one pending request if a slot + worst-case pages are free."""
+        """Admit one pending request if a slot + worst-case pages are free.
+
+        Cache-aware ordering: among the first _ADMIT_WINDOW pending
+        requests, the one with the most currently-cached prefix pages goes
+        first (a hot prefix reused NOW costs nothing; deferred, its pages
+        may be evicted for this very admission's fresh allocations).
+        Bounded window + arrival-order tie-break keep cold requests from
+        starving."""
         if not self._pending:
             return False
+        if self.prefix_cache and len(self._pending) > 1:
+            window = min(len(self._pending), self._ADMIT_WINDOW)
+            best_i, best_h = 0, len(self._prefix_lookup(
+                self._pending[0].prompt)[0])
+            for i in range(1, window):
+                nh = len(self._prefix_lookup(self._pending[i].prompt)[0])
+                if nh > best_h:
+                    best_i, best_h = i, nh
+            if best_i:
+                hot = self._pending[best_i]
+                del self._pending[best_i]
+                self._pending.appendleft(hot)
         req = self._pending[0]
         free_slot = next((i for i, s in enumerate(self._slots) if s is None), None)
         if free_slot is None:
@@ -642,20 +718,34 @@ class ContinuousBatchingEngine:
             self._pending.popleft()
             self._finished.append(FinishedRequest(req.request_id, [], "rejected"))
             return True
-        hits = self._prefix_lookup(req.prompt) if self.prefix_cache else []
+        hits, parent = (self._prefix_lookup(req.prompt) if self.prefix_cache
+                        else ([], None))
         if need - len(hits) > self._page_budget():
             return False  # admission control: not enough KV budget yet
+        part_src, part_t = (self._partial_lookup(req.prompt, len(hits), parent)
+                            if self.prefix_cache else (None, 0))
         self._pending.popleft()
-        # pin the hits FIRST (a revived page must not be eviction fodder for
-        # this same request's fresh allocations)
+        # pin the hits (and the partial source) FIRST — a revived page must
+        # not be eviction fodder for this same request's fresh allocations
         for p in hits:
             self._cached_free.pop(p, None)
             self._page_refs[p] = self._page_refs.get(p, 0) + 1
+        if part_src is not None:
+            self._cached_free.pop(part_src, None)
+            self._page_refs[part_src] = self._page_refs.get(part_src, 0) + 1
         fresh = [self._alloc_page() for _ in range(need - len(hits))]
         for p in fresh:
             self._page_refs[p] = 1
         pages = hits + fresh
         cached_len = len(hits) * self.page_size
+        if part_src is not None:
+            # copy the partially-matching page into this run's first fresh
+            # page; the matched rows' KV is then served from cache and only
+            # the remainder prefills
+            self.cache = self._jit_copy_page()(
+                self.cache, jnp.int32(part_src), jnp.int32(fresh[0]))
+            cached_len += part_t
+            self._release_page(part_src)  # drop the temporary pin
         if cached_len:
             self.metrics.observe_prefix_hit(cached_len)
         run = _Running(request=req, slot=free_slot, pages=pages,

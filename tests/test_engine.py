@@ -444,7 +444,11 @@ def test_prefix_cache_sequential_reuse_exact():
     assert cb.metrics.snapshot()["prefix_hit_tokens"] == 0
     cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=6))
     second = cb.run_to_completion()[0]
-    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 16  # 2 pages
+    # 2 full pages (16) + 3 tokens of the third page reused PARTIALLY via
+    # the copy path (the first run registered 3 full pages of its 26
+    # written tokens; prompt[16:19] matches that page's leading rows, and
+    # one prompt token always remains for prefill)
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 19
     assert first.token_ids[: len(expect)] == expect
     assert second.token_ids == first.token_ids
     cb.check_page_invariants()
@@ -536,6 +540,44 @@ def test_prefix_cache_int8_kv_hits():
     first = cb.run_to_completion()[0]
     cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=5))
     second = cb.run_to_completion()[0]
-    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 16
+    # 16 full-page + 3 partial tokens (scales ride the page copy too)
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 19
     assert second.token_ids == first.token_ids
+    cb.check_page_invariants()
+
+
+def test_prefix_cache_partial_page_divergent_tail():
+    """Two prompts sharing 19 of 20 tokens (divergence INSIDE the third
+    page): the second request must reuse the partial page via the copy
+    path and still produce exactly its own greedy continuation."""
+    p1 = list(range(1, 21))
+    p2 = p1[:19] + [499]                 # diverges at token 20 (page 3 row 3)
+    e2 = _manual_greedy(p2, 6)
+    cb = _pc_engine()
+    cb.submit(Request(request_id=0, prompt=p1, max_new_tokens=6))
+    cb.run_to_completion()
+    cb.submit(Request(request_id=1, prompt=p2, max_new_tokens=6))
+    out = cb.run_to_completion()[0]
+    # 2 full pages + 3 matching rows of page 3 (p2[16:19] == p1[16:19])
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] == 19
+    assert out.token_ids == e2, (out.token_ids, e2)
+    cb.check_page_invariants()
+
+
+def test_cache_aware_admission_prefers_hot_prefix():
+    """With one free slot and a cold request ahead of a hot one in the
+    queue, the hot request (cached prefix) is admitted first; the cold one
+    still completes (bounded window, no starvation)."""
+    hot = list(range(1, 18))             # 2 full pages once completed
+    cold = [400 + i for i in range(17)]
+    cb = _pc_engine(max_slots=1)
+    cb.submit(Request(request_id=0, prompt=hot, max_new_tokens=4))
+    cb.run_to_completion()
+    cb.submit(Request(request_id=1, prompt=cold, max_new_tokens=4))
+    cb.submit(Request(request_id=2, prompt=hot, max_new_tokens=4))
+    cb.step()                            # one admission happens
+    s = next(s for s in cb._slots if s is not None)
+    assert s.request.request_id == 2, "hot request should jump the queue"
+    done = {f.request_id for f in cb.run_to_completion()}
+    assert done == {1, 2}
     cb.check_page_invariants()
