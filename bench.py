@@ -206,7 +206,7 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         (rng.integers(0, cfg.vocab_size, period).tolist()) * reps
         for _ in range(batch)
     ]
-    kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    kv_dtype = {8: jnp.int8, 32: jnp.float32}.get(kv_bits, jnp.bfloat16)
     total_tokens = prompt_len + max_new + spec_k
     pages_per_seq = -(-total_tokens // page_size) + 1
 
@@ -223,15 +223,20 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         for rid, p in enumerate(prompts):
             cb.submit(Request(request_id=rid, prompt=p,
                               max_new_tokens=max_new))
-        # admit + prefill outside the timed region (decode serving metric)
+        # admit + prefill + first decode/verify compile outside the timed
+        # region (this is a decode serving metric)
+        fins = []
         while any(s is None or not s.prefill_done
                   for s in cb._slots) or cb._pending:
-            cb.step()
+            fins += cb.step()
+        fins += cb.step()
+        n0 = (sum(len(s.generated) for s in cb._slots if s is not None)
+              + sum(len(f.token_ids) for f in fins))
         t0 = time.perf_counter()
-        fins = cb.run_to_completion()
+        fins += cb.run_to_completion()
         dt = time.perf_counter() - t0
         toks = {f.request_id: f.token_ids for f in fins}
-        n_tok = sum(len(t) for t in toks.values())
+        n_tok = sum(len(t) for t in toks.values()) - n0
         snap = cb.metrics.snapshot()
         results[mode] = (n_tok / dt, toks, snap)
         log(f"spec bench [{mode}]: {n_tok} tokens in {dt:.2f}s "

@@ -363,6 +363,7 @@ def forward_hidden(
     attn_impl: str = "auto",
     uniform_decode: bool = False,
     ragged_multi: bool = False,
+    cache_row0: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
     reduce_axis: Optional[str] = None,
     inputs_embeds: Optional[jax.Array] = None,
@@ -381,6 +382,12 @@ def forward_hidden(
     (force kernels — used by interpreter-mode tests).
     uniform_decode: caller promises all rows decode at the SAME position
     (aligned batch) — enables the single-tile in-place KV append kernel.
+    cache_row0: the contiguous cache holds MORE batch rows than ``tokens``
+    and this step touches rows [cache_row0, cache_row0+B) — pipeline
+    decode's per-tick microbatch window (parallel/pp_step.py). The row
+    offset rides the kernels' scalar prefetch, so no cache rows are
+    slice-copied; requires the contiguous uniform-decode kernel path
+    (asserted).
     ragged_multi: caller promises each row's T positions are CONSECUTIVE
     from a per-row start (``positions[:, j] == positions[:, 0] + j``) —
     the speculative verify forward. On a paged cache this enables the
@@ -456,6 +463,11 @@ def forward_hidden(
 
             use_chunk_kernel = chunk_attention_supported(
                 Dh, T, Hq, Hk, cache.k.shape[3])
+    if cache_row0 is not None and not (use_contig_kernel and uniform_decode):
+        raise ValueError(
+            "cache_row0 (pipeline row-window decode) requires the contiguous "
+            "uniform-decode kernel path (attn_impl pallas/auto-on-TPU, T==1, "
+            "uniform_decode=True, supported head/seq shapes)")
     use_mlp_kernel = False
     if want_kernels and not cfg.is_moe and "gate" in params["layers"]:
         from qwen_inference_engine_tpu.ops.fused_step import (
@@ -518,7 +530,8 @@ def forward_hidden(
             )
 
             attn, k_c, v_c = decode_attention_appending(
-                q, cache_c["k"], cache_c["v"], k, v, l, positions[0, 0])
+                q, cache_c["k"], cache_c["v"], k, v, l, positions[0, 0],
+                row0=0 if cache_row0 is None else cache_row0)
             cache_c = dict(cache_c, k=k_c, v=v_c)
         elif use_contig_kernel and uniform_decode:
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
@@ -534,7 +547,8 @@ def forward_hidden(
                 k_c, v_c, ks_c, vs_c = kv_append_uniform_q8(
                     cache_c["k"], cache_c["v"],
                     cache_c["k_scale"], cache_c["v_scale"],
-                    qk, qv, sk, sv, positions[0, 0], l)
+                    qk, qv, sk, sv, positions[0, 0], l,
+                    row0=0 if cache_row0 is None else cache_row0)
                 cache_c = dict(cache_c, k=k_c, v=v_c,
                                k_scale=ks_c, v_scale=vs_c)
             else:
@@ -543,7 +557,8 @@ def forward_hidden(
                 )
 
                 k_c, v_c = kv_append_uniform(
-                    cache_c["k"], cache_c["v"], k, v, positions[0, 0], l)
+                    cache_c["k"], cache_c["v"], k, v, positions[0, 0], l,
+                    row0=0 if cache_row0 is None else cache_row0)
                 cache_c = dict(cache_c, k=k_c, v=v_c)
         elif use_verify_kernel:
             # speculative verify: T consecutive fresh rows per sequence,
@@ -639,14 +654,16 @@ def forward_hidden(
                 attn = decode_attention_contiguous_q8(
                     q, cache_c["k"], cache_c["v"],
                     cache_c["k_scale"], cache_c["v_scale"],
-                    l, positions[:, 0] + 1)
+                    l, positions[:, 0] + 1,
+                    row0=0 if cache_row0 is None else cache_row0)
             else:
                 from qwen_inference_engine_tpu.ops.decode_attention import (
                     decode_attention_contiguous,
                 )
 
                 attn = decode_attention_contiguous(
-                    q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1)
+                    q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1,
+                    row0=0 if cache_row0 is None else cache_row0)
         elif use_verify_kernel:
             # multi-query verify attention straight off the page pool:
             # row b's token t sits at positions[b, t]; lens include the

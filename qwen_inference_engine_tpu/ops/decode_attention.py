@@ -219,6 +219,9 @@ def _pick_block_s(s: int) -> int:
 
 
 def _specs(G8, D, bs, n_kv, quant, rpc=1):
+    # layer_ref holds [layer, row0]: row0 shifts the cache batch window
+    # (pipeline decode attends one microbatch's rows of the full stacked
+    # cache per tick without slice copies; row0 % rpc == 0 by contract)
     def kv_index(bb, sb, lens_ref, layer_ref):
         # clamp to the last block this row-block needs: Mosaic skips the
         # DMA when the block index repeats, so blocks past the valid length
@@ -226,13 +229,15 @@ def _specs(G8, D, bs, n_kv, quant, rpc=1):
         last = jnp.int32(0)
         for r in range(rpc):
             last = jnp.maximum(last, lens_ref[bb * rpc + r] - 1)
-        return (layer_ref[0], bb, 0, jnp.minimum(sb, jnp.maximum(last, 0) // bs), 0)
+        return (layer_ref[0], bb + layer_ref[1] // rpc, 0,
+                jnp.minimum(sb, jnp.maximum(last, 0) // bs), 0)
 
     def s_index(bb, sb, lens_ref, layer_ref):
         last = jnp.int32(0)
         for r in range(rpc):
             last = jnp.maximum(last, lens_ref[bb * rpc + r] - 1)
-        return (layer_ref[0], bb, 0, jnp.minimum(sb, jnp.maximum(last, 0) // bs))
+        return (layer_ref[0], bb + layer_ref[1] // rpc, 0,
+                jnp.minimum(sb, jnp.maximum(last, 0) // bs))
 
     in_specs = [
         pl.BlockSpec((rpc, n_kv, G8, D), lambda bb, sb, lens, layer: (bb, 0, 0, 0)),
@@ -259,6 +264,7 @@ def _scratch(n_kv, G8, D):
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _decode_attention(lens, layer, q8, k_cache, v_cache, *, scale):
+    """``layer`` is [layer_idx, row0] int32 (row0: cache batch offset)."""
     B, Hk, G8, D = q8.shape
     S = k_cache.shape[3]
     bs = _pick_block_s(S)
@@ -338,11 +344,13 @@ def _prep_q(q, Hk):
 
 def decode_attention_contiguous(
     q: jax.Array,          # [B, 1, Hq, D] current-step queries
-    k_cache: jax.Array,    # [L, B, Hk, S, D] stacked head-major cache
+    k_cache: jax.Array,    # [L, Bc, Hk, S, D] stacked head-major cache
     v_cache: jax.Array,
     layer: jax.Array,      # scalar int32
     lengths: jax.Array,    # [B] valid kv length per row (position + 1)
     scale: float | None = None,
+    row0=0,                # cache batch offset (PP decode row window;
+                           # may be traced; row0 % 2 == 0 when B is even)
 ) -> jax.Array:
     """Returns [B, 1, Hq, D] in q.dtype."""
     B, T, Hq, D = q.shape
@@ -350,21 +358,23 @@ def decode_attention_contiguous(
     if scale is None:
         scale = D ** -0.5
     qg, G, G8 = _prep_q(q, Hk)
-    out = _decode_attention(lengths.astype(jnp.int32),
-                            jnp.asarray(layer, jnp.int32).reshape(1),
+    meta = jnp.stack([jnp.asarray(layer, jnp.int32),
+                      jnp.asarray(row0, jnp.int32)])
+    out = _decode_attention(lengths.astype(jnp.int32), meta,
                             qg, k_cache, v_cache, scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D)
 
 
 def decode_attention_contiguous_q8(
     q: jax.Array,          # [B, 1, Hq, D]
-    k_cache: jax.Array,    # [L, B, Hk, S, D] int8
+    k_cache: jax.Array,    # [L, Bc, Hk, S, D] int8
     v_cache: jax.Array,
-    k_scale: jax.Array,    # [L, B, Hk, S] f32
+    k_scale: jax.Array,    # [L, Bc, Hk, S] f32
     v_scale: jax.Array,
     layer: jax.Array,
     lengths: jax.Array,    # [B]
     scale: float | None = None,
+    row0=0,                # cache batch offset (PP decode row window)
 ) -> jax.Array:
     """INT8-KV flash decode over the stacked cache. Returns [B, 1, Hq, D]."""
     B, T, Hq, D = q.shape
@@ -373,8 +383,9 @@ def decode_attention_contiguous_q8(
         scale = D ** -0.5
     qg, G, G8 = _prep_q(q, Hk)
     qg = qg.astype(jnp.bfloat16)
-    out = _decode_attention_q8(lengths.astype(jnp.int32),
-                               jnp.asarray(layer, jnp.int32).reshape(1),
+    meta = jnp.stack([jnp.asarray(layer, jnp.int32),
+                      jnp.asarray(row0, jnp.int32)])
+    out = _decode_attention_q8(lengths.astype(jnp.int32), meta,
                                qg, k_cache, v_cache, k_scale, v_scale,
                                scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
@@ -499,8 +510,8 @@ def decode_attention_contiguous_fresh(
     dt = k_cache.dtype
     kn = k_new.reshape(B, Hk, D).astype(dt)
     vn = v_new.reshape(B, Hk, D).astype(dt)
-    out = _decode_attention_fresh(old_lengths.astype(jnp.int32),
-                                  jnp.asarray(layer, jnp.int32).reshape(1),
+    meta = jnp.stack([jnp.asarray(layer, jnp.int32), jnp.int32(0)])
+    out = _decode_attention_fresh(old_lengths.astype(jnp.int32), meta,
                                   qg.astype(dt), k_cache, v_cache,
                                   kn, vn, scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype)
@@ -566,7 +577,7 @@ def _decode_append_kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, kn_ref,
         kband[slot] = kb.astype(kband.dtype)
         vband[slot] = vb.astype(vband.dtype)
         t0g = pl.multiple_of((p // 8) * 8, 8)
-        rows = pl.ds(bb * rpc, rpc)
+        rows = pl.ds(bb * rpc + layer_ref[1], rpc)  # [1]: row0 (PP window)
         pltpu.make_async_copy(kband.at[slot],
                               kc_out.at[l, rows, :, pl.ds(t0g, 8), :],
                               sem.at[slot, 0]).start()
@@ -626,8 +637,10 @@ def _decode_attention_append(pos, layer, q8, k_cache, v_cache, kn, vn, *,
     n_rb = B // rpc
 
     def kv_index(bb, sb, pos_ref, layer_ref):
-        # clamp to the last valid block: repeated indices skip the DMA
-        return (layer_ref[0], bb, 0, jnp.minimum(sb, pos_ref[0] // bs), 0)
+        # clamp to the last valid block: repeated indices skip the DMA;
+        # layer_ref[1] = row0 (cache batch window for PP decode)
+        return (layer_ref[0], bb + layer_ref[1] // rpc, 0,
+                jnp.minimum(sb, pos_ref[0] // bs), 0)
 
     in_specs = [
         pl.BlockSpec((rpc, Hk, G8, D), lambda bb, sb, pos, layer: (bb, 0, 0, 0)),
@@ -685,6 +698,7 @@ def decode_attention_appending(
     layer: jax.Array,
     position,              # scalar: the fresh token's position (uniform)
     scale: float | None = None,
+    row0=0,                # cache batch offset (PP row window; traced ok)
 ):
     """Returns (attn [B, 1, Hq, D], k_cache', v_cache') with the fresh
     rows appended in place (aliased buffers)."""
@@ -696,7 +710,9 @@ def decode_attention_appending(
     kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
     vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
     pos = jnp.asarray(position, jnp.int32).reshape(1)
+    meta = jnp.stack([jnp.asarray(layer, jnp.int32),
+                      jnp.asarray(row0, jnp.int32)])
     out, kc, vc = _decode_attention_append(
-        pos, jnp.asarray(layer, jnp.int32).reshape(1), qg.astype(k_cache.dtype),
+        pos, meta, qg.astype(k_cache.dtype),
         k_cache, v_cache, kn, vn, scale=scale)
     return out[:, :, :G, :].reshape(B, 1, Hq, D).astype(q.dtype), kc, vc

@@ -26,12 +26,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
-                           kc_out, vc_out, ktile, vtile, sem, *, row0, nrows):
+                           kc_out, vc_out, ktile, vtile, sem, *, nrows):
     del kc_hbm, vc_hbm  # aliased with kc_out / vc_out
     l = layer_ref[0]
     p = pos_ref[0]
     t0 = pl.multiple_of((p // 8) * 8, 8)
-    rows = pl.ds(row0, nrows)
+    # dynamic row window (pipeline decode appends one microbatch's rows of
+    # the full stacked cache per tick — zero slice copies, ROADMAP #6)
+    rows = pl.ds(pos_ref[1], nrows)
 
     kin = pltpu.make_async_copy(kc_out.at[l, rows, :, pl.ds(t0, 8), :], ktile,
                                 sem.at[0])
@@ -57,17 +59,20 @@ def _uniform_append_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, kn_ref, vn_ref,
     vout.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("row0",))
+@jax.jit
 def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer,
-                      row0: int = 0):
+                      row0=0):
     """Write ``k_new/v_new [Bn, 1, Hk, D]`` at the SAME ``position`` (scalar)
     for rows [row0, row0+Bn) into the stacked head-major caches
-    ``[L, B, Hk, S, D]`` (in place). Returns the (aliased) updated caches."""
+    ``[L, B, Hk, S, D]`` (in place). ``row0`` may be a traced scalar
+    (pipeline decode's per-tick microbatch window). Returns the (aliased)
+    updated caches."""
     L, B, Hk, S, D = k_cache.shape
     Bn = k_new.shape[0]
     kn = k_new.reshape(Bn, Hk, D).astype(k_cache.dtype)
     vn = v_new.reshape(Bn, Hk, D).astype(v_cache.dtype)
-    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    pos = jnp.stack([jnp.asarray(position, jnp.int32),
+                     jnp.asarray(row0, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -88,7 +93,7 @@ def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_uniform_append_kernel, row0=row0, nrows=Bn),
+        functools.partial(_uniform_append_kernel, nrows=Bn),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
@@ -109,23 +114,25 @@ def kv_append_uniform(k_cache, v_cache, k_new, v_new, position, layer,
 def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
                               vs_hbm, kn_ref, vn_ref, ksn_ref, vsn_ref,
                               kc_out, vc_out, ks_out, vs_out,
-                              ktile, vtile, kstile, vstile, sem, *, band):
+                              ktile, vtile, kstile, vstile, sem, *, band,
+                              nrows):
     del kc_hbm, vc_hbm, ks_hbm, vs_hbm
     l = layer_ref[0]
     p = pos_ref[0]
+    rows = pl.ds(pos_ref[1], nrows)   # dynamic microbatch window (PP decode)
     # int8 HBM arrays tile (32, 128) along (S, D) — the RMW band must cover
     # a full sublane tile of the cache dtype, not the bf16 8-row band
     t0 = pl.multiple_of((p // band) * band, band)
     s0 = pl.multiple_of((p // 128) * 128, 128)
 
     cps = [
-        pltpu.make_async_copy(kc_out.at[l, :, :, pl.ds(t0, band), :], ktile,
+        pltpu.make_async_copy(kc_out.at[l, rows, :, pl.ds(t0, band), :], ktile,
                               sem.at[0]),
-        pltpu.make_async_copy(vc_out.at[l, :, :, pl.ds(t0, band), :], vtile,
+        pltpu.make_async_copy(vc_out.at[l, rows, :, pl.ds(t0, band), :], vtile,
                               sem.at[1]),
-        pltpu.make_async_copy(ks_out.at[l, :, :, pl.ds(s0, 128)], kstile,
+        pltpu.make_async_copy(ks_out.at[l, rows, :, pl.ds(s0, 128)], kstile,
                               sem.at[2]),
-        pltpu.make_async_copy(vs_out.at[l, :, :, pl.ds(s0, 128)], vstile,
+        pltpu.make_async_copy(vs_out.at[l, rows, :, pl.ds(s0, 128)], vstile,
                               sem.at[3]),
     ]
     for c in cps:
@@ -143,13 +150,13 @@ def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
     vstile[:] = jnp.where(lsel, vsn_ref[:][:, :, None], vstile[:])
 
     cps = [
-        pltpu.make_async_copy(ktile, kc_out.at[l, :, :, pl.ds(t0, band), :],
+        pltpu.make_async_copy(ktile, kc_out.at[l, rows, :, pl.ds(t0, band), :],
                               sem.at[0]),
-        pltpu.make_async_copy(vtile, vc_out.at[l, :, :, pl.ds(t0, band), :],
+        pltpu.make_async_copy(vtile, vc_out.at[l, rows, :, pl.ds(t0, band), :],
                               sem.at[1]),
-        pltpu.make_async_copy(kstile, ks_out.at[l, :, :, pl.ds(s0, 128)],
+        pltpu.make_async_copy(kstile, ks_out.at[l, rows, :, pl.ds(s0, 128)],
                               sem.at[2]),
-        pltpu.make_async_copy(vstile, vs_out.at[l, :, :, pl.ds(s0, 128)],
+        pltpu.make_async_copy(vstile, vs_out.at[l, rows, :, pl.ds(s0, 128)],
                               sem.at[3]),
     ]
     for c in cps:
@@ -160,15 +167,19 @@ def _uniform_append_q8_kernel(pos_ref, layer_ref, kc_hbm, vc_hbm, ks_hbm,
 
 @jax.jit
 def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
-                         k_new, v_new, ks_new, vs_new, position, layer):
-    """INT8-KV uniform append: k/v_new [B, 1, Hk, D] int8, ks/vs_new
-    [B, 1, Hk] f32, same ``position`` for every row. In place."""
+                         k_new, v_new, ks_new, vs_new, position, layer,
+                         row0=0):
+    """INT8-KV uniform append: k/v_new [Bn, 1, Hk, D] int8, ks/vs_new
+    [Bn, 1, Hk] f32, same ``position`` for rows [row0, row0+Bn). ``row0``
+    may be a traced scalar (PP decode). In place."""
     L, B, Hk, S, D = k_cache.shape
-    kn = k_new.reshape(B, Hk, D).astype(k_cache.dtype)
-    vn = v_new.reshape(B, Hk, D).astype(v_cache.dtype)
-    ksn = ks_new.reshape(B, Hk).astype(jnp.float32)
-    vsn = vs_new.reshape(B, Hk).astype(jnp.float32)
-    pos = jnp.asarray(position, jnp.int32).reshape(1)
+    Bn = k_new.shape[0]
+    kn = k_new.reshape(Bn, Hk, D).astype(k_cache.dtype)
+    vn = v_new.reshape(Bn, Hk, D).astype(v_cache.dtype)
+    ksn = ks_new.reshape(Bn, Hk).astype(jnp.float32)
+    vsn = vs_new.reshape(Bn, Hk).astype(jnp.float32)
+    pos = jnp.stack([jnp.asarray(position, jnp.int32),
+                     jnp.asarray(row0, jnp.int32)])
     band = 32 if k_cache.dtype.itemsize == 1 else 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -177,15 +188,15 @@ def kv_append_uniform_q8(k_cache, v_cache, k_scale, v_scale,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         scratch_shapes=[
-            pltpu.VMEM((B, Hk, band, D), k_cache.dtype),
-            pltpu.VMEM((B, Hk, band, D), v_cache.dtype),
-            pltpu.VMEM((B, Hk, 128), jnp.float32),
-            pltpu.VMEM((B, Hk, 128), jnp.float32),
+            pltpu.VMEM((Bn, Hk, band, D), k_cache.dtype),
+            pltpu.VMEM((Bn, Hk, band, D), v_cache.dtype),
+            pltpu.VMEM((Bn, Hk, 128), jnp.float32),
+            pltpu.VMEM((Bn, Hk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_uniform_append_q8_kernel, band=band),
+        functools.partial(_uniform_append_q8_kernel, band=band, nrows=Bn),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct(a.shape, a.dtype)

@@ -188,13 +188,22 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
 
 def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                         cache: KVCache, *, microbatch_rows: int,
-                        steps: int, use_pallas: bool = False):
+                        steps: int, use_pallas: bool = False,
+                        zero_copy_cache: bool | None = None):
     """Returns ``fn(params, init_toks [M, b], init_pos [M], cache) ->
     (tokens [steps, M, b] int32, cache)`` — greedy decode of ``steps``
-    tokens for every microbatch, pipelined across the stages."""
+    tokens for every microbatch, pipelined across the stages.
+
+    zero_copy_cache (default: follow use_pallas): pass the FULL local
+    cache into forward_hidden with ``cache_row0`` so the per-tick
+    microbatch row window rides the kernels' scalar prefetch — the
+    dynamic-slice/update pair otherwise copies the whole [L/S, b, Hk, S,
+    D] window twice per tick (ROADMAP #6)."""
     stages = mesh.shape[STAGE_AXIS]
     M = stages
     b = microbatch_rows
+    if zero_copy_cache is None:
+        zero_copy_cache = use_pallas
     assert supports_pp(cfg, params, stages)
     assert cache.k_scale is None
     assert cache.k.shape[1] == M * b, (cache.k.shape, M, b)
@@ -235,16 +244,30 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                 init_pos.astype(jnp.int32), m_s, 0, keepdims=False) + k_s
             positions = jnp.broadcast_to(p_m, (b,))[:, None]
             row0 = m_s * b
-            kc_m = jax.lax.dynamic_slice_in_dim(kc, row0, b, axis=1)
-            vc_m = jax.lax.dynamic_slice_in_dim(vc, row0, b, axis=1)
             toks_m = jnp.zeros((b, 1), jnp.int32)  # unused (inputs_embeds)
-            hidden, lc2 = forward_hidden(
-                params_l, cfg_l, toks_m, positions, KVCache(k=kc_m, v=vc_m),
-                fresh_prefill=False, use_pallas=use_pallas,
-                uniform_decode=True, inputs_embeds=x_in,
-                apply_final_norm=False)
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, lc2.k, row0, axis=1)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, lc2.v, row0, axis=1)
+            if zero_copy_cache:
+                # full cache in, row window via scalar prefetch: the append
+                # is an in-place tile RMW of rows [row0, row0+b), attention
+                # reads those rows directly — no per-tick window copies
+                hidden, lc2 = forward_hidden(
+                    params_l, cfg_l, toks_m, positions, KVCache(k=kc, v=vc),
+                    fresh_prefill=False, use_pallas=True, attn_impl="pallas",
+                    uniform_decode=True, inputs_embeds=x_in,
+                    apply_final_norm=False, cache_row0=row0)
+                kc, vc = lc2.k, lc2.v
+            else:
+                kc_m = jax.lax.dynamic_slice_in_dim(kc, row0, b, axis=1)
+                vc_m = jax.lax.dynamic_slice_in_dim(vc, row0, b, axis=1)
+                hidden, lc2 = forward_hidden(
+                    params_l, cfg_l, toks_m, positions,
+                    KVCache(k=kc_m, v=vc_m),
+                    fresh_prefill=False, use_pallas=use_pallas,
+                    uniform_decode=True, inputs_embeds=x_in,
+                    apply_final_norm=False)
+                kc = jax.lax.dynamic_update_slice_in_dim(kc, lc2.k, row0,
+                                                         axis=1)
+                vc = jax.lax.dynamic_update_slice_in_dim(vc, lc2.v, row0,
+                                                         axis=1)
             x = jax.lax.ppermute(hidden.astype(x.dtype), STAGE_AXIS, fwd)
             return (x, kc, vc), emitted
 

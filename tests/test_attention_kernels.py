@@ -660,3 +660,69 @@ def test_verify_forward_with_kernels_matches_xla(kv_dtype):
     tol = 1e-2 if kv_dtype == "f32" else 5e-2
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=tol, atol=tol)
+
+
+def test_contiguous_kernels_row_window():
+    """Dynamic row0 (pipeline decode's per-tick microbatch window): the
+    contiguous decode attention + uniform append kernels operating on rows
+    [row0, row0+Bn) of a bigger cache must match the same ops on a sliced
+    copy — bf16 and INT8-KV variants."""
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.quant.kv_quant import quantize_kv
+
+    L, Bc, Bn, Hk, G, D, S = 2, 8, 2, 2, 4, 128, 256
+    Hq = G * Hk
+    row0 = jnp.int32(4)                     # traced offset, rows 4..5
+    rng = np.random.default_rng(17)
+    kc = jnp.asarray(rng.normal(size=(L, Bc, Hk, S, D)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(L, Bc, Hk, S, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(Bn, 1, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(Bn, 1, Hk, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(Bn, 1, Hq, D)).astype(np.float32))
+    pos, layer = 37, 1
+
+    with interpret_pallas(ka):
+        kc2, vc2 = ka.kv_append_uniform(kc, vc, kn, vn, jnp.int32(pos),
+                                        layer, row0=row0)
+        # window slice must equal appending into the sliced cache
+        ks_ref, vs_ref = ka.kv_append_uniform(
+            kc[:, 4:6], vc[:, 4:6], kn, vn, jnp.int32(pos), layer)
+    np.testing.assert_array_equal(np.asarray(kc2[:, 4:6]), np.asarray(ks_ref))
+    np.testing.assert_array_equal(np.asarray(vc2[:, 4:6]), np.asarray(vs_ref))
+    # rows outside the window untouched
+    np.testing.assert_array_equal(np.asarray(kc2[:, :4]), np.asarray(kc[:, :4]))
+    np.testing.assert_array_equal(np.asarray(kc2[:, 6:]), np.asarray(kc[:, 6:]))
+
+    lens = jnp.full((Bn,), pos + 1, jnp.int32)
+    with interpret_pallas(da):
+        a_win = da.decode_attention_contiguous(q, kc2, vc2, layer, lens,
+                                               row0=row0)
+        a_ref = da.decode_attention_contiguous(q, kc2[:, 4:6], vc2[:, 4:6],
+                                               layer, lens)
+    np.testing.assert_allclose(np.asarray(a_win), np.asarray(a_ref),
+                               rtol=2e-3, atol=2e-3)
+
+    # ---- INT8-KV variants ----
+    kq, ks = quantize_kv(kc)
+    vq, vs = quantize_kv(vc)
+    qk_n, sk_n = quantize_kv(kn)
+    qv_n, sv_n = quantize_kv(vn)
+    with interpret_pallas(ka):
+        kq2, vq2, ks2, vs2 = ka.kv_append_uniform_q8(
+            kq, vq, ks, vs, qk_n, qv_n, sk_n, sv_n, jnp.int32(pos), layer,
+            row0=row0)
+        kq_r, vq_r, ks_r, vs_r = ka.kv_append_uniform_q8(
+            kq[:, 4:6], vq[:, 4:6], ks[:, 4:6], vs[:, 4:6],
+            qk_n, qv_n, sk_n, sv_n, jnp.int32(pos), layer)
+    np.testing.assert_array_equal(np.asarray(kq2[:, 4:6]), np.asarray(kq_r))
+    np.testing.assert_array_equal(np.asarray(ks2[:, 4:6]), np.asarray(ks_r))
+    np.testing.assert_array_equal(np.asarray(kq2[:, :4]), np.asarray(kq[:, :4]))
+    with interpret_pallas(da):
+        a8_win = da.decode_attention_contiguous_q8(
+            q, kq2, vq2, ks2, vs2, layer, lens, row0=row0)
+        a8_ref = da.decode_attention_contiguous_q8(
+            q, kq2[:, 4:6], vq2[:, 4:6], ks2[:, 4:6], vs2[:, 4:6],
+            layer, lens)
+    np.testing.assert_allclose(np.asarray(a8_win), np.asarray(a8_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -108,3 +108,65 @@ def test_pp_1f1b_decode_matches_single_device(devices8):
     toks, cache_s = fn(params_s, init_toks, init_pos, cache_s)
     got = np.asarray(toks).reshape(steps, M * b)    # [steps, B]
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pp_1f1b_zero_copy_cache_matches_sliced(devices8):
+    """ROADMAP #6: the zero-copy 1F1B variant (full cache + per-tick row
+    window in the kernels' scalar prefetch) must emit exactly the tokens
+    of the sliced variant / single-device decode."""
+    import contextlib
+    from unittest import mock
+
+    import qwen_inference_engine_tpu.ops.decode_attention as da
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.parallel.pp_step import (
+        make_pp_decode_1f1b,
+        shard_for_pp,
+    )
+
+    @contextlib.contextmanager
+    def interpret(module):
+        orig = module.pl.pallas_call
+
+        def call(*a, **k):
+            k.pop("compiler_params", None)
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        with mock.patch.object(module.pl, "pallas_call", call):
+            yield
+
+    stages, b, steps, T = 4, 2, 3, 6
+    mesh = make_pp_mesh(devices=devices8[:stages])
+    # kernel-capable shapes: head_dim 128, cache S a 256-multiple
+    cfg = tiny_config(num_layers=4, num_heads=4, num_kv_heads=2,
+                      head_dim=128, hidden_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    M = stages
+    B = M * b
+    rng = np.random.default_rng(9)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+    cache = KVCache.create(cfg.num_layers, B, 256, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    logits, cache = prefill(params, cfg, prompts, lens, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    ref_cache = jax.tree.map(lambda a: a, cache)
+    ref, tok = [], first
+    for s in range(steps):
+        l, ref_cache = decode_step(params, cfg, tok, lens + s, ref_cache,
+                                   uniform_decode=True, attn_impl="xla")
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+        ref.append(tok)
+    ref = np.asarray(jnp.stack(ref))
+
+    params_s, cache_s = shard_for_pp(params, cache, mesh)
+    fn = make_pp_decode_1f1b(cfg, mesh, params, cache, microbatch_rows=b,
+                             steps=steps, use_pallas=True,
+                             zero_copy_cache=True)
+    with interpret(da), interpret(ka):
+        toks, cache_s = fn(params_s, first.reshape(M, b),
+                           jnp.full((M,), T, jnp.int32), cache_s)
+    got = np.asarray(toks).reshape(steps, M * b)
+    np.testing.assert_array_equal(got, ref)
