@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-import warnings
 from collections import deque
 from typing import Deque, Dict, List, Optional, Sequence
 
@@ -159,13 +158,6 @@ class ContinuousBatchingEngine:
         # 1..spec_k+1 tokens (greedy rows token-identical to plain decode;
         # stochastic rows distribution-exact). The reference emits exactly
         # one token per llm() call (qwen_main.cu:250-404).
-        if speculative and self._tp_step:
-            # the verify forward has no shard_map TP variant yet; Pallas
-            # custom calls are not GSPMD-partitionable, so running it
-            # against TP-sharded params would fail to compile
-            warnings.warn("speculative decoding is not supported with the "
-                          "shard_map TP step; disabling speculation")
-            speculative = False
         self.speculative = speculative
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
@@ -389,17 +381,30 @@ class ContinuousBatchingEngine:
             cfg, use_pallas = self.cfg, self.use_pallas
             k = self.spec_k
             k_cap, approx = self.k_cap, self.sampling.approx_top_k
+            tp_verify = None
+            if self._tp_step:
+                from qwen_inference_engine_tpu.parallel.tp_step import (
+                    make_tp_verify_fn,
+                )
+
+                tp_verify = make_tp_verify_fn(
+                    cfg, self.mesh, self.params, self._cache_template(),
+                    T=k + 1)
 
             def fn(params, tokens, pos0, cache, tables, rkey, sp_dyn, seen,
                    drafts):
                 B = tokens.shape[0]
-                positions = pos0[:, None] + jnp.arange(k + 1,
-                                                       dtype=jnp.int32)[None, :]
-                hidden, cache = forward_hidden(
-                    params, cfg, tokens, positions, cache,
-                    block_tables=tables, fresh_prefill=False,
-                    ragged_multi=True, use_pallas=use_pallas)
-                logits = compute_logits(params, hidden, use_pallas)
+                if tp_verify is not None:
+                    logits, cache = tp_verify(params, tokens, pos0, cache,
+                                              tables)
+                else:
+                    positions = pos0[:, None] + jnp.arange(
+                        k + 1, dtype=jnp.int32)[None, :]
+                    hidden, cache = forward_hidden(
+                        params, cfg, tokens, positions, cache,
+                        block_tables=tables, fresh_prefill=False,
+                        ragged_multi=True, use_pallas=use_pallas)
+                    logits = compute_logits(params, hidden, use_pallas)
                 seen0 = seen
                 rows = jnp.arange(B)
                 chain = []

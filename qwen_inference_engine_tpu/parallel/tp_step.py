@@ -193,6 +193,41 @@ def make_tp_decode_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
     )
 
 
+def make_tp_verify_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
+                      *, T: int, use_pallas: bool = True,
+                      attn_impl: str = "auto"):
+    """Speculative verify forward (T = spec_k+1 consecutive fresh tokens
+    per slot, ragged per-row starts) over the paged cache under TP.
+
+    Returns ``fn(params, tokens[B,T], pos0[B], cache, tables) ->
+    (logits [B, T, V] vocab-sharded, cache)``; the accept/sample chain
+    runs outside on the sharded logits (engine/scheduler._jit_verify).
+    Per shard this is the ordinary single-chip verify path (multi-query
+    paged attention + ragged-T append on the local KV heads)."""
+    tp = mesh.shape[MODEL_AXIS]
+    cfg_l = local_config(cfg, tp)
+    pspec, cspec = _spec_tree(params, cache, mesh)
+    assert mesh.shape.get(DATA_AXIS, 1) == 1, \
+        "paged TP needs a pure-TP mesh (shared page pool)"
+
+    def body(params_l, tokens_l, pos0, cache_l, tables_l):
+        positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        hidden, cache_l = forward_hidden(
+            params_l, cfg_l, tokens_l, positions, cache_l,
+            block_tables=tables_l, fresh_prefill=False, ragged_multi=True,
+            use_pallas=use_pallas, attn_impl=attn_impl,
+            reduce_axis=MODEL_AXIS)
+        return compute_logits(params_l, hidden, use_pallas), cache_l
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P(DATA_AXIS, None), P(DATA_AXIS), cspec,
+                  P(None, None)),
+        out_specs=(P(DATA_AXIS, None, MODEL_AXIS), cspec),
+        check_vma=False,
+    )
+
+
 def make_tp_prefill_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
                        *, chunk: int = 512, use_pallas: bool = True,
                        attn_impl: str = "auto"):

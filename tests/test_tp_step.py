@@ -177,3 +177,48 @@ def test_scheduler_paged_tp_matches_single_device(devices8):
     mesh = make_mesh((1, 8), devices=devices8)
     got = run(mesh, shard_params(params, mesh))
     assert got == ref
+
+
+def test_scheduler_speculative_under_tp_matches_single_device(devices8):
+    """Speculative decoding (PLD drafts + TP verify forward,
+    make_tp_verify_fn) under a pure-TP mesh: greedy outputs must be
+    token-identical to the single-device NON-speculative scheduler, and
+    drafts must actually accept (repetitive prompt)."""
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_config(num_heads=8, num_kv_heads=8, head_dim=16)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    prompts = [[5, 9, 17, 3] * 3, [40, 41, 42, 43] * 3]
+
+    def run(mesh, p, speculative, draft_oracle=None):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=2, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=greedy, kv_dtype=jnp.float32,
+            speculative=speculative, spec_k=3, spec_ngram=2)
+        if draft_oracle is not None:
+            # oracle drafts (the known greedy continuation): random-weight
+            # chains don't self-repeat, so PLD would never fire — this
+            # exercises the TP verify forward at FULL acceptance instead
+            def draft(run):
+                i = len(run.generated)
+                cont = list(draft_oracle[run.request.request_id][i:i + 3])
+                return cont + [0] * (3 - len(cont)) if cont else None
+            cb._pld_draft_host = draft
+        for i, pr in enumerate(prompts):
+            cb.submit(Request(request_id=i, prompt=pr, max_new_tokens=8))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        return out, cb.metrics.snapshot()
+
+    ref, _ = run(None, params, False)
+    mesh = make_mesh((1, 8), devices=devices8)
+    got, snap = run(mesh, shard_params(params, mesh), True, draft_oracle=ref)
+    assert got == ref
+    assert snap["spec_rounds"] > 0
+    # oracle drafts accept fully: ~4 tokens per verify forward
+    assert snap["spec_tokens_per_forward"] > 2.0, snap
