@@ -123,7 +123,6 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
     """
     stages = mesh.shape[STAGE_AXIS]
     assert supports_pp(cfg, params, stages), (cfg.num_layers, stages)
-    assert cache.k_scale is None, "INT8 KV under PP: not wired in v1"
     cfg_l = cfg.replace(num_layers=cfg.num_layers // stages)
     pspec = pp_param_pspecs(params)
     cspec = pp_cache_pspec(cache)
@@ -135,8 +134,7 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
         x = jnp.take(params_l["embed"], tokens, axis=0)
 
         def hop(h, carry):
-            x, kc, vc = carry
-            lc = KVCache(k=kc, v=vc)
+            x, lc = carry
             hidden, lc2 = forward_hidden(
                 params_l, cfg_l, tokens, positions, lc,
                 fresh_prefill=(T > 1), use_pallas=use_pallas,
@@ -146,14 +144,12 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
             # commit the KV writes (and the stream) on the active stage
             # only — the other stages ran on don't-care data in this
             # wall-clock slot (the sequential pipeline's bubble)
-            kc = jnp.where(active, lc2.k, kc)
-            vc = jnp.where(active, lc2.v, vc)
+            lc = jax.tree.map(lambda a, b: jnp.where(active, a, b), lc2, lc)
             x = jnp.where(active, hidden.astype(x.dtype), x)
             x = jax.lax.ppermute(x, STAGE_AXIS, fwd)
-            return (x, kc, vc)
+            return (x, lc)
 
-        x, kc, vc = jax.lax.fori_loop(
-            0, stages, hop, (x, cache_l.k, cache_l.v))
+        x, cache_l = jax.lax.fori_loop(0, stages, hop, (x, cache_l))
         # the final residual stream landed back on stage 0; broadcast it
         x = jax.lax.psum(jnp.where(sid == 0, x, 0), STAGE_AXIS)
         from qwen_inference_engine_tpu.ops.norms import rms_norm
@@ -165,7 +161,7 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
         else:
             last = x[:, 0]
         logits = compute_logits(params_l, last, use_pallas)
-        return logits, KVCache(k=kc, v=vc)
+        return logits, cache_l
 
     return jax.shard_map(
         body, mesh=mesh,
@@ -205,7 +201,6 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
     if zero_copy_cache is None:
         zero_copy_cache = use_pallas
     assert supports_pp(cfg, params, stages)
-    assert cache.k_scale is None
     assert cache.k.shape[1] == M * b, (cache.k.shape, M, b)
     cfg_l = cfg.replace(num_layers=cfg.num_layers // stages)
     pspec = pp_param_pspecs(params)
@@ -219,7 +214,7 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
         D = cfg.hidden_size
 
         def tick(carry, t):
-            x, kc, vc = carry
+            x, lc = carry
             m0 = jnp.mod(t, M)  # stage 0's microbatch (= (t - S) mod M)
 
             # ---- stage 0: finish the arriving stream, start the next ----
@@ -249,34 +244,32 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                 # full cache in, row window via scalar prefetch: the append
                 # is an in-place tile RMW of rows [row0, row0+b), attention
                 # reads those rows directly — no per-tick window copies
-                hidden, lc2 = forward_hidden(
-                    params_l, cfg_l, toks_m, positions, KVCache(k=kc, v=vc),
+                hidden, lc = forward_hidden(
+                    params_l, cfg_l, toks_m, positions, lc,
                     fresh_prefill=False, use_pallas=True, attn_impl="pallas",
                     uniform_decode=True, inputs_embeds=x_in,
                     apply_final_norm=False, cache_row0=row0)
-                kc, vc = lc2.k, lc2.v
             else:
-                kc_m = jax.lax.dynamic_slice_in_dim(kc, row0, b, axis=1)
-                vc_m = jax.lax.dynamic_slice_in_dim(vc, row0, b, axis=1)
-                hidden, lc2 = forward_hidden(
-                    params_l, cfg_l, toks_m, positions,
-                    KVCache(k=kc_m, v=vc_m),
+                win = jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, row0, b, axis=1),
+                    lc)
+                hidden, win2 = forward_hidden(
+                    params_l, cfg_l, toks_m, positions, win,
                     fresh_prefill=False, use_pallas=use_pallas,
                     uniform_decode=True, inputs_embeds=x_in,
                     apply_final_norm=False)
-                kc = jax.lax.dynamic_update_slice_in_dim(kc, lc2.k, row0,
-                                                         axis=1)
-                vc = jax.lax.dynamic_update_slice_in_dim(vc, lc2.v, row0,
-                                                         axis=1)
+                lc = jax.tree.map(
+                    lambda full, w: jax.lax.dynamic_update_slice_in_dim(
+                        full, w, row0, axis=1), lc, win2)
             x = jax.lax.ppermute(hidden.astype(x.dtype), STAGE_AXIS, fwd)
-            return (x, kc, vc), emitted
+            return (x, lc), emitted
 
         x0 = jnp.zeros((b, 1, D), params_l["embed"].dtype)
-        (x, kc, vc), ys = jax.lax.scan(
-            tick, (x0, cache_l.k, cache_l.v), jnp.arange(n_ticks))
+        (x, cache_l), ys = jax.lax.scan(
+            tick, (x0, cache_l), jnp.arange(n_ticks))
         # ys are only meaningful on stage 0: replicate them
         ys = jax.lax.psum(jnp.where(sid == 0, ys, 0), STAGE_AXIS)
-        return ys, KVCache(k=kc, v=vc)
+        return ys, cache_l
 
     fn = jax.shard_map(
         body, mesh=mesh,

@@ -170,3 +170,43 @@ def test_pp_1f1b_zero_copy_cache_matches_sliced(devices8):
                            jnp.full((M,), T, jnp.int32), cache_s)
     got = np.asarray(toks).reshape(steps, M * b)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pp_1f1b_decode_int8_kv(devices8):
+    """1F1B pipeline decode over a stage-sharded INT8 KV cache (scales
+    threaded through the carry): greedy tokens == single-device decode."""
+    stages, b, steps, T = 4, 2, 3, 6
+    from qwen_inference_engine_tpu.parallel.pp_step import (
+        make_pp_decode_1f1b,
+        shard_for_pp,
+    )
+
+    mesh = make_pp_mesh(devices=devices8[:stages])
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    M = stages
+    B = M * b
+    rng = np.random.default_rng(13)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+    cache = KVCache.create(cfg.num_layers, B, 64, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.int8)
+    logits, cache = prefill(params, cfg, prompts, lens, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    ref_cache = jax.tree.map(lambda a: a, cache)
+    ref, tok = [], first
+    for s in range(steps):
+        l, ref_cache = decode_step(params, cfg, tok, lens + s, ref_cache,
+                                   uniform_decode=True)
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+        ref.append(tok)
+    ref = np.asarray(jnp.stack(ref))
+
+    params_s, cache_s = shard_for_pp(params, cache, mesh)
+    fn = make_pp_decode_1f1b(cfg, mesh, params, cache, microbatch_rows=b,
+                             steps=steps)
+    toks, cache_s = fn(params_s, first.reshape(M, b),
+                       jnp.full((M,), T, jnp.int32), cache_s)
+    got = np.asarray(toks).reshape(steps, M * b)
+    np.testing.assert_array_equal(got, ref)
