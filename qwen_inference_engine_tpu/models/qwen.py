@@ -293,7 +293,8 @@ def _expert_matmul(xs: jax.Array, w, group_sizes: jax.Array, layer,
 
 def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
             top_k: int, norm_topk: bool, layer=0,
-            use_pallas: bool = False) -> jax.Array:
+            use_pallas: bool = False,
+            reduce_axis: Optional[str] = None) -> jax.Array:
     """Qwen3-MoE sparse MLP for one layer.
 
     h [N, D]; router [D, E]; w_gate/up ``[L, E, D, Fm]`` (bf16 stack or
@@ -304,6 +305,14 @@ def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
     once — no dense all-expert einsum (that would waste E/k = 16x the
     FLOPs at Qwen3-30B-A3B) and no capacity-factor token dropping (exact
     routing, like the HF reference).
+
+    reduce_axis: set when running INSIDE jax.shard_map with the EXPERT
+    axis of w_gate/up/down sharded over that mesh axis (router stays
+    replicated, h is the full replicated batch — the TP step's layout).
+    Each shard computes only the pairs routed to its local experts and
+    the combine is one ``psum`` — the replicated-activation form of
+    expert parallelism (the data-sharded all-to-all form lives in
+    parallel/ep_moe.py).
     """
     N, D = h.shape
     E = router.shape[-1]
@@ -315,10 +324,25 @@ def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
     flat_e = topi.reshape(-1)                          # [N*k]
-    order = jnp.argsort(flat_e)                        # stable
+    if reduce_axis is not None:
+        e_loc = (w_gate.q.shape[1] if isinstance(w_gate, QuantLinear)
+                 else w_gate.shape[1])
+        lo = jax.lax.axis_index(reduce_axis) * e_loc
+        local = flat_e - lo
+        is_local = jnp.logical_and(local >= 0, local < e_loc)
+        # non-local pairs sort to a sentinel tail group that no work
+        # covers; their (possibly uninitialized) outputs are where()-ed
+        # away before the combine
+        key = jnp.where(is_local, local, e_loc)
+        order = jnp.argsort(key)                       # stable
+        group_sizes = jnp.bincount(key, length=e_loc + 1
+                                   ).astype(jnp.int32)[:e_loc]
+    else:
+        is_local = None
+        order = jnp.argsort(flat_e)                    # stable
+        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
     tok = order // top_k                               # source token per pair
     xs = jnp.take(h, tok, axis=0)                      # [N*k, D]
-    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
     g = _expert_matmul(xs, w_gate, group_sizes, layer, use_pallas)
     u = _expert_matmul(xs, w_up, group_sizes, layer, use_pallas)
@@ -326,6 +350,10 @@ def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
     y = _expert_matmul(mid.astype(xs.dtype), w_down, group_sizes, layer,
                        use_pallas)                     # [N*k, D]
     w = jnp.take(topw.reshape(-1), order)[:, None].astype(y.dtype)
+    if reduce_axis is not None:
+        contrib = jnp.where(jnp.take(is_local, order)[:, None], y * w, 0)
+        out = jnp.zeros((N, D), y.dtype).at[tok].add(contrib)
+        return jax.lax.psum(out, reduce_axis)
     out = jnp.zeros((N, D), y.dtype).at[tok].add(y * w)
     return out
 
@@ -755,6 +783,7 @@ def forward_hidden(
                 layers_all["moe_down"],
                 cfg.num_experts_per_tok, cfg.norm_topk_prob,
                 layer=l, use_pallas=want_kernels,
+                reduce_axis=reduce_axis,
             ).reshape(B, T, -1).astype(x.dtype)
         elif use_mlp_kernel:
             # single-pass SwiGLU kernel: gate/up/h intermediates stay in
@@ -779,8 +808,9 @@ def forward_hidden(
             up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
             d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
                              use_pallas, layer=l)
-        if reduce_axis is not None:
+        if reduce_axis is not None and not cfg.is_moe:
             # row-parallel down-proj: partials over the sharded FFN dim
+            # (moe_mlp psums its expert-sharded combine internally)
             d = jax.lax.psum(d, reduce_axis)
         x = x + d
         return (x, cache_c, l + 1), None

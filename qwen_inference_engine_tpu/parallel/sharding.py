@@ -78,7 +78,15 @@ def param_pspecs(params: dict) -> dict:
                                   b=None if leaf.b is None else P(None, None))
         elif name in ("moe_gate", "moe_up", "moe_down"):
             # expert parallelism: experts sharded over the model axis
-            lspecs[name] = P(None, MODEL_AXIS, None, None)
+            # (bf16 stacks [L, E, K, N] or quantized stacks whose q/scales
+            # carry the expert axis at dim 1)
+            if isinstance(leaf, QuantLinear):
+                lspecs[name] = QuantLinear(
+                    q=P(None, MODEL_AXIS, None, None),
+                    scales=P(None, MODEL_AXIS, None, None),
+                    b=None, bits=leaf.bits, group_size=leaf.group_size)
+            else:
+                lspecs[name] = P(None, MODEL_AXIS, None, None)
         else:
             raise KeyError(name)
     specs = {

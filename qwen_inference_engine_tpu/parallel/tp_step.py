@@ -88,9 +88,17 @@ def supports_tp(cfg: ModelConfig, params: dict, tp: int) -> bool:
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
         return False
     layers = params["layers"]
-    if "moe_gate" in layers or "gate" not in layers:
-        # MoE trees route experts via GSPMD expert-parallel sharding; the
-        # shard_map TP step covers the dense families
+    if "moe_gate" in layers:
+        # MoE: TP attention + expert-sharded MLP (replicated-activation
+        # EP; moe_mlp(reduce_axis=...)) — experts must split evenly
+        if cfg.num_experts % tp:
+            return False
+        o = layers["o"]
+        ok = (o.w.shape[-2] if isinstance(o, Linear) else o.q.shape[-2])
+        if isinstance(o, QuantLinear) and o.scales.shape[-2] % tp:
+            return False  # row-parallel scales must split on the k groups
+        return ok % tp == 0 and o.b is None
+    if "gate" not in layers:
         return False
     if "qkv" in layers or "gateup" in layers:
         # offline-fused projections interleave head/FFN columns; TP needs

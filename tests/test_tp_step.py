@@ -222,3 +222,49 @@ def test_scheduler_speculative_under_tp_matches_single_device(devices8):
     assert snap["spec_rounds"] > 0
     # oracle drafts accept fully: ~4 tokens per verify forward
     assert snap["spec_tokens_per_forward"] > 2.0, snap
+
+
+def test_scheduler_moe_tp_matches_single_device(devices8):
+    """MoE under the shard_map TP step: attention TP + expert-sharded MLP
+    (replicated-activation EP, one psum combine). Greedy outputs match the
+    single-device scheduler; bf16-stack and QUANTIZED expert variants."""
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.sharding import shard_params
+    from qwen_inference_engine_tpu.quant.quantize import (
+        QuantConfig,
+        quantize_params,
+    )
+
+    cfg = tiny_config(num_heads=8, num_kv_heads=8, head_dim=16,
+                      num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    prompts = [[5, 9, 17, 3], [100, 200, 300, 400, 500, 42]]
+
+    def run(mesh, p):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=2, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=greedy, kv_dtype=jnp.float32)
+        if mesh is not None:
+            assert cb._tp_step, "MoE TP path must be selected"
+        for i, pr in enumerate(prompts):
+            cb.submit(Request(request_id=i, prompt=pr, max_new_tokens=5))
+        return {f.request_id: f.token_ids for f in cb.run_to_completion()}
+
+    ref = run(None, params)
+    mesh = make_mesh((1, 8), devices=devices8)
+    got = run(mesh, shard_params(params, mesh))
+    assert got == ref
+
+    # quantized experts (int8): TP outputs must match the same quantized
+    # model on one device (gs=16: the o-proj's K groups must split across
+    # tp=8 for the row-parallel scale sharding)
+    qp = quantize_params(params, QuantConfig(bits=8, group_size=16))
+    ref_q = run(None, qp)
+    got_q = run(mesh, shard_params(qp, mesh))
+    assert got_q == ref_q
