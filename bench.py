@@ -226,9 +226,11 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         # admit + prefill + first decode/verify compile outside the timed
         # region (this is a decode serving metric)
         fins = []
-        while any(s is None or not s.prefill_done
-                  for s in cb._slots) or cb._pending:
+        while cb._pending or any(s is not None and not s.prefill_done
+                                 for s in cb._slots):
             fins += cb.step()
+        assert all(s is not None for s in cb._slots), \
+            "spec-bench requests were rejected (page budget too small)"
         fins += cb.step()
         n0 = (sum(len(s.generated) for s in cb._slots if s is not None)
               + sum(len(f.token_ids) for f in fins))

@@ -6,7 +6,12 @@ admissions (the head-of-line metric — chunked prefill must keep running
 decodes from stalling for a whole prompt), and aggregate decode tok/s.
 The BASELINE.md "also tracked" serving metric.
 
-Usage: python scripts/load_test.py [model] [n_requests] [prompt_len]
+Usage: python scripts/load_test.py [model] [n_requests] [prompt_len] [step_ticks]
+
+step_ticks > 1 drives the serving loop through engine.step_batch (the
+HTTP server's default: decode ticks chained on device, one host sync per
+batch) — the inter-token stats then show the burst pattern: in-batch
+gaps near zero, one sync-sized gap per batch, and a lower mean.
 """
 
 import sys
@@ -34,12 +39,15 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "qwen2-0.5b"
     n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     plen = int(sys.argv[3]) if len(sys.argv) > 3 else 384
+    step_ticks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     max_new = 48
 
     if model == "tiny":
         cfg = tiny_config(num_heads=4, num_kv_heads=2, head_dim=128,
                           hidden_size=256)
-        params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+        dt = (jnp.float32 if jax.default_backend() == "cpu"
+              else jnp.bfloat16)  # XLA:CPU has no bf16 DotThunk
+        params = init_params(cfg, jax.random.PRNGKey(0), dt)
     else:
         cfg = ModelConfig.from_pretrained(model)
         params = init_quantized_params(cfg, jax.random.PRNGKey(0), bits=4,
@@ -49,6 +57,8 @@ def main():
 
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=8, page_size=16,
+        kv_dtype=(jnp.float32 if jax.default_backend() == "cpu"
+                  else jnp.bfloat16),
         num_pages=max(512, 8 * (plen + max_new) // 16 + 64),
         max_pages_per_seq=(plen + max_new) // 16 + 2,
         sampling=SamplingParams(temperature=0.7, top_k=50), seed=0)
@@ -89,7 +99,10 @@ def main():
         if last_tick is not None and eng.num_active:
             tick_gaps.append((now - last_tick, bool(had_prefill)))
         last_tick = now
-        eng.step()
+        if step_ticks > 1:
+            eng.step_batch(step_ticks)
+        else:
+            eng.step()
         if had_prefill:
             admit_ticks += 1
     wall = time.perf_counter() - t0
@@ -117,6 +130,16 @@ def main():
           f"{pct(itls_during_admission, 0.5)*1e3:.1f} ms  "
           f"p99={pct(itls_during_admission, 0.99)*1e3:.1f} ms "
           f"({admit_ticks} admission ticks)")
+    # true inter-token latency per request (token-timestamp gaps): under
+    # step_batch most gaps are ~0 (burst) with one host-sync gap per batch
+    tok_gaps = []
+    for rid, ts in token_times.items():
+        if rid < n_req:
+            tok_gaps += [b - a for a, b in zip(ts, ts[1:])]
+    print(f"inter-TOKEN p50={pct(tok_gaps, 0.5)*1e3:.1f} ms  "
+          f"p99={pct(tok_gaps, 0.99)*1e3:.1f} ms  "
+          f"mean={1e3*sum(tok_gaps)/max(len(tok_gaps),1):.1f} ms "
+          f"(step_ticks={step_ticks})")
     print(f"decode throughput: {total_toks/wall:.1f} tok/s over {wall:.1f} s")
     snap = eng.metrics.snapshot()
     print(f"engine metrics: {snap}")
