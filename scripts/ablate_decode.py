@@ -142,12 +142,13 @@ import qwen_inference_engine_tpu.ops.decode_attention as da_mod
 import qwen_inference_engine_tpu.ops.kv_append as ka_mod
 
 orig_da = da_mod.decode_attention_contiguous
-da_mod.decode_attention_contiguous = lambda q, kc, vc, l, lens, scale=None: q
+da_mod.decode_attention_contiguous = \
+    lambda q, kc, vc, l, lens, scale=None, row0=0: q
 no_da = run_steps("contig attn kernel -> identity")
 da_mod.decode_attention_contiguous = orig_da
 
 orig_ka = ka_mod.kv_append_uniform
-ka_mod.kv_append_uniform = lambda kc, vc, kn, vn, p, l: (kc, vc)
+ka_mod.kv_append_uniform = lambda kc, vc, kn, vn, p, l, row0=0: (kc, vc)
 no_ka = run_steps("uniform append -> skip")
 ka_mod.kv_append_uniform = orig_ka
 
