@@ -80,6 +80,12 @@ class _Running:
     prefilled: int = 0                # prompt tokens already in cache
     cached_prefix: int = 0            # leading pages[i] shared via prefix cache
     admit_seq: int = 0                # monotonic admission order
+    # incremental prompt-lookup state (speculative decoding): ngram ->
+    # latest start position, maintained lazily by _pld_draft_host so each
+    # round costs O(new tokens), not O(history)
+    pld_hist: Optional[List[int]] = None
+    pld_index: Dict[tuple, int] = dataclasses.field(default_factory=dict)
+    pld_done: int = 0
 
     @property
     def prefill_done(self) -> bool:
@@ -203,8 +209,13 @@ class ContinuousBatchingEngine:
         # top-k selection width of the one compiled decode step; per-row
         # dynamic top_k masks within it (ops/sampling.sample_rows), so a
         # request may use any top_k in [1, k_cap] (or 0 → k_cap) — the
-        # serving cap exposed to the HTTP layer
-        self.k_cap = max(64, self.sampling.top_k)
+        # serving cap exposed to the HTTP layer. An engine DEFAULT of
+        # top_k=0 means full-vocab sampling (e.g. top-p only): honor it by
+        # widening the cap to the vocabulary instead of silently
+        # truncating to 64 (the sort cost is the user's explicit choice;
+        # approx_top_k still applies on TPU)
+        self.k_cap = (cfg.vocab_size if self.sampling.top_k == 0
+                      else max(64, self.sampling.top_k))
         # per-slot presence mask of tokens seen (prompt + generated),
         # device-resident: the repetition penalty's input in serving
         self._seen = jnp.zeros((max_slots, cfg.vocab_size), jnp.bool_)
@@ -346,7 +357,8 @@ class ContinuousBatchingEngine:
                 tp_dec = make_tp_decode_fn(cfg, self.mesh, self.params,
                                            self._cache_template(), paged=True)
 
-            def fn(params, tok, pos, cache, tables, rkey, sp_dyn, seen):
+            def fn(params, tok, pos, cache, tables, rkey, sp_dyn, seen,
+                   active):
                 if tp_dec is not None:
                     logits, cache = tp_dec(params, tok, pos, cache, tables)
                 else:
@@ -357,7 +369,10 @@ class ContinuousBatchingEngine:
                     logits, rkey, k_cap=k_cap, approx_top_k=approx,
                     seen_mask=seen, **sp_dyn)
                 b = jnp.arange(seen.shape[0])
-                seen = seen.at[b, nxt].set(True)
+                # only DECODING slots record their token: a slot that is
+                # mid-prefill (or empty) samples garbage in this fused step
+                # and must not have it penalized later
+                seen = seen.at[b, nxt].max(active)
                 return nxt, cache, seen
 
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 7))
@@ -392,7 +407,7 @@ class ContinuousBatchingEngine:
                     T=k + 1)
 
             def fn(params, tokens, pos0, cache, tables, rkey, sp_dyn, seen,
-                   drafts):
+                   drafts, active):
                 B = tokens.shape[0]
                 if tp_verify is not None:
                     logits, cache = tp_verify(params, tokens, pos0, cache,
@@ -419,8 +434,11 @@ class ContinuousBatchingEngine:
                 match = drafts == chain[:, :-1]
                 acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
                 n_new = jnp.sum(acc, axis=1) + 1            # [B] in 1..k+1
-                # rebuild: original mask ∪ emitted tokens only
-                keep = jnp.arange(k + 1)[None, :] < n_new[:, None]
+                # rebuild: original mask ∪ emitted tokens only (and only
+                # for slots actually decoding this round)
+                keep = jnp.logical_and(
+                    jnp.arange(k + 1)[None, :] < n_new[:, None],
+                    active[:, None])
                 seen = seen0
                 for j in range(k + 1):
                     seen = seen.at[rows, chain[:, j]].max(keep[:, j])
@@ -435,16 +453,27 @@ class ContinuousBatchingEngine:
         suffix (strong on extraction/summarization/multi-turn, where
         output echoes input). None when no match — the slot then verifies
         only its mandatory first position."""
-        hist = run.request.prompt + run.generated
         n, k = self.spec_ngram, self.spec_k
+        if run.pld_hist is None:
+            run.pld_hist = list(run.request.prompt)
+        hist = run.pld_hist
+        base = len(run.request.prompt)
+        if len(hist) - base < len(run.generated):
+            hist.extend(run.generated[len(hist) - base:])
         if len(hist) < n + 1:
             return None
-        suffix = tuple(hist[-n:])
-        for j in range(len(hist) - n - 1, -1, -1):
-            if tuple(hist[j:j + n]) == suffix:
-                cont = hist[j + n:j + n + k]
-                if cont:
-                    return cont + [0] * (k - len(cont))
+        # register every ngram that already HAS a continuation (ends at
+        # most at len-2); later registrations overwrite earlier ones, so a
+        # hit is always the most recent earlier occurrence — identical to
+        # the previous backwards scan, amortized O(1) per token
+        for e in range(max(run.pld_done, n - 1), len(hist) - 1):
+            run.pld_index[tuple(hist[e - n + 1:e + 1])] = e - n + 1
+        run.pld_done = max(run.pld_done, len(hist) - 1)
+        j = run.pld_index.get(tuple(hist[-n:]))
+        if j is not None:
+            cont = hist[j + n:j + n + k]
+            if cont:
+                return cont + [0] * (k - len(cont))
         return None
 
     def _step_speculative(self, decoding: List[_Running],
@@ -467,13 +496,16 @@ class ContinuousBatchingEngine:
                 drafts[s.slot] = -1  # never matches a sampled chain token
             pos0[s.slot] = s.seq_len
             tables[s.slot] = self._block_tables[s.slot]
+        active = np.zeros((self.max_slots,), bool)
+        for s in decoding:
+            active[s.slot] = True
         fn = self._jit_verify()
         rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                   100_000 + self._step_count)
         chain, n_new, self.cache, self._seen = fn(
             self.params, jnp.asarray(toks), jnp.asarray(pos0), self.cache,
             jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
-            jnp.asarray(drafts),
+            jnp.asarray(drafts), jnp.asarray(active),
         )
         self._step_count += 1
         chain_np = np.asarray(chain)      # ONE host sync for the round
@@ -693,6 +725,9 @@ class ContinuousBatchingEngine:
         starving."""
         if not self._pending:
             return False
+        if next((i for i, s in enumerate(self._slots) if s is None),
+                None) is None:
+            return False  # no slot: skip the window scan / queue reorder
         if self.prefix_cache and len(self._pending) > 1:
             window = min(len(self._pending), self._ADMIT_WINDOW)
             best_i, best_h = 0, len(self._prefix_lookup(
@@ -883,12 +918,16 @@ class ContinuousBatchingEngine:
                 toks[s.slot] = s.last_token
                 pos[s.slot] = s.seq_len  # next write position
                 tables[s.slot] = self._block_tables[s.slot]
+            active = np.zeros((self.max_slots,), bool)
+            for s in decoding:
+                active[s.slot] = True
             fn = self._jit_decode()
             rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       100_000 + self._step_count)
             nxt, self.cache, self._seen = fn(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
                 jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
+                jnp.asarray(active),
             )
             self._step_count += 1
             nxt_np = np.asarray(nxt)  # value fetch = true sync
@@ -948,6 +987,10 @@ class ContinuousBatchingEngine:
             toks[s.slot] = s.last_token
             pos0[s.slot] = s.seq_len
             tables[s.slot] = self._block_tables[s.slot]
+        active = np.zeros((self.max_slots,), bool)
+        for s in decoding:
+            active[s.slot] = True
+        active_d = jnp.asarray(active)
         fn = self._jit_decode()
         tables_d = jnp.asarray(tables)
         sp_rows = self._sp_dyn_rows()
@@ -958,7 +1001,7 @@ class ContinuousBatchingEngine:
                                       100_000 + self._step_count)
             nxt, self.cache, self._seen = fn(
                 self.params, nxt, jnp.asarray(pos0) + i, self.cache,
-                tables_d, rkey, sp_rows, self._seen,
+                tables_d, rkey, sp_rows, self._seen, active_d,
             )
             self._step_count += 1
             cols.append(nxt)

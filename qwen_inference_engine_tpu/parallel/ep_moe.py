@@ -47,12 +47,33 @@ def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel):
     if use_quant_kernel:
         from qwen_inference_engine_tpu.ops.grouped_matmul import (
             grouped_quant_matmul,
+            grouped_quant_matmul_supported,
         )
 
-        g = grouped_quant_matmul(xs, w_gate, group_sizes)
-        u = grouped_quant_matmul(xs, w_up, group_sizes)
+        if (grouped_quant_matmul_supported(w_gate, xs.shape[0])
+                and grouped_quant_matmul_supported(w_down, xs.shape[0])):
+            g = grouped_quant_matmul(xs, w_gate, group_sizes)
+            u = grouped_quant_matmul(xs, w_up, group_sizes)
+            mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+            return grouped_quant_matmul(mid.astype(xs.dtype), w_down,
+                                        group_sizes)
+        # unsupported tiling: dequantize the local shard and fall back
+        # (mirrors models.qwen._expert_matmul)
+        import dataclasses as _dc
+
+        from qwen_inference_engine_tpu.ops.linear import dequantize
+
+        def _dq(w):
+            wl = dequantize(_dc.replace(w, b=None))
+            return wl[:, : xs.shape[-1], :] if wl.shape[1] > xs.shape[-1] \
+                else wl
+
+        g = jax.lax.ragged_dot(xs, _dq(w_gate).astype(xs.dtype), group_sizes)
+        u = jax.lax.ragged_dot(xs, _dq(w_up).astype(xs.dtype), group_sizes)
         mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
-        return grouped_quant_matmul(mid.astype(xs.dtype), w_down, group_sizes)
+        wd = dequantize(_dc.replace(w_down, b=None))[:, : mid.shape[-1], :]
+        return jax.lax.ragged_dot(mid.astype(xs.dtype), wd.astype(xs.dtype),
+                                  group_sizes)
     g = jax.lax.ragged_dot(xs, w_gate.astype(xs.dtype), group_sizes)
     u = jax.lax.ragged_dot(xs, w_up.astype(xs.dtype), group_sizes)
     mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
@@ -113,6 +134,13 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
     peer_offs = metag[:, 1, :][:, me]                    # src's offset of my slice
 
     # --- 2. dispatch a2a: payload = rows ++ local-expert-id column ---
+    # the id column rides in the activation dtype; its integer range must
+    # be exactly representable (bf16: 256, f16: 2048, f32: 2^24)
+    id_cap = {jnp.bfloat16: 256, jnp.float16: 2048}.get(
+        jnp.dtype(h.dtype).type, 1 << 24)
+    assert e_loc <= id_cap, (
+        f"{e_loc} local experts exceed the exactly-representable id range "
+        f"of the {jnp.dtype(h.dtype).name} payload column ({id_cap})")
     eid_local_col = (eid_sorted - me_dest_base(eid_sorted, e_loc)
                      ).astype(h.dtype)[:, None]
     payload = jnp.concatenate([xs, eid_local_col], -1)   # [M, D+1]

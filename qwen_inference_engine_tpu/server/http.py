@@ -227,7 +227,9 @@ def _make_handler(server: Server):
                 # (engine.k_cap); per-row top_k masks within it, so any
                 # value in [0, k_cap] is served exactly (0 → k_cap)
                 k_cap = server.engine.k_cap
-                if not isinstance(meta["top_k"], int) or \
+                # type(...) is int: JSON true/false are Python bools,
+                # which subclass int and would otherwise pass as 1/0
+                if type(meta["top_k"]) is not int or \
                         not 0 <= meta["top_k"] <= k_cap:
                     return self._json(400, {
                         "error": f"top_k must be an int in [0, {k_cap}]"})

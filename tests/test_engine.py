@@ -581,3 +581,30 @@ def test_cache_aware_admission_prefers_hot_prefix():
     done = {f.request_id for f in cb.run_to_completion()}
     assert done == {1, 2}
     cb.check_page_invariants()
+
+
+def test_seen_mask_not_polluted_by_prefilling_slots():
+    """Regression: the fused decode tick samples a (masked) garbage token
+    for slots that are still mid-prefill; those tokens must NOT enter the
+    slot's seen mask, or its repetition penalty later penalizes tokens
+    the request never produced. Request B (long, chunked prefill, huge
+    penalty) must behave exactly as when served alone."""
+    prompt_b = list(range(50, 90))          # 40 tokens > prefill_chunk=16
+
+    def serve_b(with_neighbor):
+        cb = ContinuousBatchingEngine(
+            CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+            prefill_chunk=16, prefix_cache=False)
+        if with_neighbor:
+            # neighbor decodes while B's prefill spans several ticks
+            cb.submit(Request(request_id=9, prompt=[7, 8, 9],
+                              max_new_tokens=20))
+            cb.step()
+        cb.submit(Request(request_id=0, prompt=prompt_b, max_new_tokens=8,
+                          sampling=SamplingParams(greedy=True,
+                                                  repetition_penalty=1e6)))
+        done = {f.request_id: f for f in cb.run_to_completion()}
+        return done[0].token_ids
+
+    assert serve_b(True) == serve_b(False)

@@ -47,15 +47,29 @@ def _spawn_workers(root, worker):
                 q.kill()
                 q.communicate()
             raise
+        if p.returncode != 0 and "already in use" in (err or "").lower():
+            for q in procs:
+                q.kill()
+                q.communicate()
+            raise _PortCollision(err[-500:])
         assert p.returncode == 0, f"proc{i} failed:\n{out}\n{err[-3000:]}"
         outs.append(out)
     return outs
 
 
+class _PortCollision(RuntimeError):
+    """The probe-then-bind window of _free_port lost a race with another
+    process; retrying with a fresh port is collision handling, not a
+    flaky-failure mask (all other failures propagate on first strike)."""
+
+
 def test_two_process_distributed_matches_single_process(devices8):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
-    outs = _spawn_workers(root, worker)
+    try:
+        outs = _spawn_workers(root, worker)
+    except _PortCollision:
+        outs = _spawn_workers(root, worker)
 
     sums = []
     for i, out in enumerate(outs):
