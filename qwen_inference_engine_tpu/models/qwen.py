@@ -394,6 +394,7 @@ def forward_hidden(
     cache_row0: Optional[jax.Array] = None,
     kv_window: Optional[int] = None,
     reduce_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
     inputs_embeds: Optional[jax.Array] = None,
     apply_final_norm: bool = True,
 ) -> Tuple[jax.Array, object]:
@@ -421,6 +422,12 @@ def forward_hidden(
     the speculative verify forward. On a paged cache this enables the
     multi-query verify attention kernel (M = T*8 per kv head instead of
     8) and the two-page ragged multi-token append.
+    ep_axis: set when running INSIDE jax.shard_map with tokens
+    DATA-sharded and the expert stacks sharded over this axis — the MoE
+    MLP then routes tokens through the dispatch/combine all-to-alls
+    (parallel/ep_moe.py); attention and dense projections are fully
+    local per shard. Mutually exclusive with reduce_axis.
+
     reduce_axis: set when running INSIDE jax.shard_map over a tensor-model
     mesh axis (parallel/tp_step.py): params/cache are per-shard local
     arrays (cfg is the LOCAL config: heads divided by tp) and the Megatron
@@ -771,7 +778,24 @@ def forward_hidden(
             o = jax.lax.psum(o, reduce_axis)
         x = x + o
         h = rms_norm(x, lp["post_norm"], eps)
-        if cfg.is_moe:
+        if cfg.is_moe and ep_axis is not None:
+            # data-sharded tokens x expert-sharded weights: all-to-all
+            # token routing (parallel/ep_moe.py)
+            from qwen_inference_engine_tpu.parallel.ep_moe import (
+                ep_moe_layer,
+            )
+
+            d = ep_moe_layer(
+                h.reshape(B * T, -1),
+                layers_all["router"].w[l],
+                layers_all["moe_gate"], layers_all["moe_up"],
+                layers_all["moe_down"],
+                cfg.num_experts_per_tok, cfg.norm_topk_prob, ep_axis,
+                use_quant_kernel=want_kernels and isinstance(
+                    layers_all["moe_gate"], QuantLinear),
+                layer=l,
+            ).reshape(B, T, -1).astype(x.dtype)
+        elif cfg.is_moe:
             # stacked expert weights ride through unsliced; quantized
             # experts reach the Pallas grouped matmul which prefetches l
             # (ops/grouped_matmul.py — no per-step slice copy); bf16

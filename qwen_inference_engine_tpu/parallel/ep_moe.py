@@ -41,9 +41,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel):
+def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel,
+                    layer=None):
     """Grouped gate/up/silu/mul/down over expert-sorted rows (local shard:
-    plain [E_loc, K, N] bf16 stacks or single-layer quantized stacks)."""
+    [E_loc, K, N] bf16 arrays / quantized stacks, or layer-stacked
+    [L, E_loc, K, N] with ``layer`` a traced index)."""
+    stacked = layer is not None
     if use_quant_kernel:
         from qwen_inference_engine_tpu.ops.grouped_matmul import (
             grouped_quant_matmul,
@@ -52,28 +55,35 @@ def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel):
 
         if (grouped_quant_matmul_supported(w_gate, xs.shape[0])
                 and grouped_quant_matmul_supported(w_down, xs.shape[0])):
-            g = grouped_quant_matmul(xs, w_gate, group_sizes)
-            u = grouped_quant_matmul(xs, w_up, group_sizes)
+            lidx = layer if stacked else None
+            g = grouped_quant_matmul(xs, w_gate, group_sizes, lidx)
+            u = grouped_quant_matmul(xs, w_up, group_sizes, lidx)
             mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
             return grouped_quant_matmul(mid.astype(xs.dtype), w_down,
-                                        group_sizes)
+                                        group_sizes, lidx)
         # unsupported tiling: dequantize the local shard and fall back
         # (mirrors models.qwen._expert_matmul)
         import dataclasses as _dc
 
         from qwen_inference_engine_tpu.ops.linear import dequantize
 
-        def _dq(w):
+        def _dq(w, width):
+            if stacked:
+                w = _dc.replace(w, q=w.q[layer], scales=w.scales[layer],
+                                b=None)
             wl = dequantize(_dc.replace(w, b=None))
-            return wl[:, : xs.shape[-1], :] if wl.shape[1] > xs.shape[-1] \
-                else wl
+            return wl[:, :width, :]
 
-        g = jax.lax.ragged_dot(xs, _dq(w_gate).astype(xs.dtype), group_sizes)
-        u = jax.lax.ragged_dot(xs, _dq(w_up).astype(xs.dtype), group_sizes)
+        g = jax.lax.ragged_dot(xs, _dq(w_gate, xs.shape[-1]).astype(xs.dtype),
+                               group_sizes)
+        u = jax.lax.ragged_dot(xs, _dq(w_up, xs.shape[-1]).astype(xs.dtype),
+                               group_sizes)
         mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
-        wd = dequantize(_dc.replace(w_down, b=None))[:, : mid.shape[-1], :]
+        wd = _dq(w_down, mid.shape[-1])
         return jax.lax.ragged_dot(mid.astype(xs.dtype), wd.astype(xs.dtype),
                                   group_sizes)
+    if stacked:
+        w_gate, w_up, w_down = w_gate[layer], w_up[layer], w_down[layer]
     g = jax.lax.ragged_dot(xs, w_gate.astype(xs.dtype), group_sizes)
     u = jax.lax.ragged_dot(xs, w_up.astype(xs.dtype), group_sizes)
     mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
@@ -84,13 +94,15 @@ def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel):
 def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
                  top_k: int, norm_topk: bool, axis: str,
                  use_quant_kernel: bool = False,
-                 ragged: bool | None = None) -> jax.Array:
+                 ragged: bool | None = None, layer=None) -> jax.Array:
     """One expert-parallel MoE layer; call INSIDE jax.shard_map.
 
     h [N_loc, D] local tokens; router_w [D, E] replicated; w_gate/up
     [E_loc, D, Fm] and w_down [E_loc, Fm, D] local expert shards (bf16
-    arrays, or QuantLinear single-layer expert stacks when
-    use_quant_kernel). Returns [N_loc, D].
+    arrays, or QuantLinear expert stacks when use_quant_kernel);
+    layer-STACKED weights ([L, E_loc, ...]) with ``layer`` a traced index
+    are supported for use inside a layer scan (forward_hidden's EP path).
+    Returns [N_loc, D].
 
     ragged: use ``ragged_all_to_all`` (exact-size transfers; TPU) vs the
     dense capacity-padded ``all_to_all`` (XLA:CPU has no ragged thunk, so
@@ -104,7 +116,9 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
     me = jax.lax.axis_index(axis)
     N, D = h.shape
     E = router_w.shape[-1]
-    e_loc = (w_gate.q.shape[0] if use_quant_kernel else w_gate.shape[0])
+    edim = 1 if layer is not None else 0
+    e_loc = (w_gate.q.shape[edim] if use_quant_kernel
+             else w_gate.shape[edim])
     assert e_loc * P == E, (e_loc, P, E)
 
     # --- 1. route (full router view; same math as models.qwen.moe_mlp) ---
@@ -175,7 +189,8 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
     xs2 = jnp.take(recv[:, :D], order2, axis=0)
     gs2 = jnp.bincount(jnp.where(valid, eid_rx, e_loc), length=e_loc + 1
                        ).astype(jnp.int32)[:e_loc]
-    y2 = _expert_compute(xs2, w_gate, w_up, w_down, gs2, use_quant_kernel)
+    y2 = _expert_compute(xs2, w_gate, w_up, w_down, gs2, use_quant_kernel,
+                         layer=layer)
     y_rx = jnp.zeros((P * M, D), y2.dtype).at[order2].set(y2)
 
     # --- 4. combine a2a (mirror of dispatch) ---

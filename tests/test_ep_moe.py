@@ -160,3 +160,95 @@ def test_ep_moe_quantized_experts():
         got = jax.jit(run)(h, router, qg_s, qu_s, qd_s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_full_forward_dp_ep_matches_single_device():
+    """The WHOLE decode step under shard_map with tokens data-sharded and
+    experts device-sharded (forward_hidden(ep_axis=...)): attention and
+    dense projections local per shard, MoE through the all-to-all — the
+    MoE analogue of the TP step, greedy-exact vs single device."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import KVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        compute_logits,
+        decode_step,
+        forward_hidden,
+        init_params,
+        prefill,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    B, T, steps = ep * 2, 6, 3
+    rng = np.random.default_rng(2)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    lens = jnp.full((B,), T, jnp.int32)
+
+    def mk_cache():
+        return KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                              cfg.head_dim, dtype=jnp.float32)
+
+    # single-device reference
+    cache = mk_cache()
+    logits, cache = prefill(params, cfg, prompts, lens, cache)
+    ref, tok = [logits], jnp.argmax(logits, -1).astype(jnp.int32)
+    for s in range(steps):
+        logits, cache = decode_step(params, cfg, tok, lens + s, cache)
+        ref.append(logits)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    # DP x EP: batch sharded, experts sharded, everything else replicated
+    mesh = _mesh(ep)
+    lspec = {}
+    for name, leaf in params["layers"].items():
+        if name in ("moe_gate", "moe_up", "moe_down"):
+            lspec[name] = P(None, "ep", None, None)
+        else:
+            lspec[name] = jax.tree.map(lambda _: P(*([None] * _.ndim)), leaf)
+    pspec = {k: (lspec if k == "layers" else
+                 jax.tree.map(lambda _: P(*([None] * _.ndim)), v))
+             for k, v in params.items()}
+    cspec = KVCache(k=P(None, "ep", None, None, None),
+                    v=P(None, "ep", None, None, None),
+                    k_scale=None, v_scale=None)
+
+    def body(params_l, toks_l, positions_l, cache_l, fresh):
+        hidden, cache_l = forward_hidden(
+            params_l, cfg, toks_l, positions_l, cache_l,
+            fresh_prefill=fresh, use_pallas=False, ep_axis="ep")
+        return compute_logits(params_l, hidden[:, -1], False), cache_l
+
+    def make(fresh, T_):
+        return jax.jit(jax.shard_map(
+            lambda p, t, q, c: body(p, t, q, c, fresh),
+            mesh=mesh,
+            in_specs=(pspec, P("ep", None), P("ep", None), cspec),
+            out_specs=(P("ep", None), cspec),
+            check_vma=False))
+
+    cache_s = jax.device_put(
+        mk_cache(), jax.tree.map(
+            lambda sp: jax.sharding.NamedSharding(mesh, sp), cspec,
+            is_leaf=lambda x: isinstance(x, P)))
+    params_s = jax.tree.map(
+        lambda leaf, sp: leaf if leaf is None else jax.device_put(
+            leaf, jax.sharding.NamedSharding(mesh, sp)),
+        params, pspec, is_leaf=lambda x: x is None)
+
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    pre = make(True, T)
+    logits, cache_s = pre(params_s, prompts, positions, cache_s)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4)
+    dec = make(False, 1)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for s in range(steps):
+        logits, cache_s = dec(params_s, tok[:, None], (lens + s)[:, None],
+                              cache_s)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref[s + 1]),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"step {s}")
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
