@@ -158,6 +158,11 @@ def _make_handler(server: Server):
                 return self._json(200, {"status": "ok"})
             if self.path == "/stats":
                 return self._json(200, server.engine.metrics.snapshot())
+            if self.path == "/v1/models":
+                return self._json(200, {
+                    "object": "list",
+                    "data": [{"id": server.cfg.name, "object": "model",
+                              "owned_by": "qie"}]})
             return self._json(404, {"error": "not found"})
 
         def _stream(self, w, rid, timeout_s):
@@ -190,14 +195,163 @@ def _make_handler(server: Server):
             except (BrokenPipeError, ConnectionResetError):
                 server.cancel(rid)  # client went away: stop generating
 
+        # ------------------------------------------------------------------
+        # OpenAI-compatible surface (/v1/completions, /v1/chat/completions):
+        # the drop-in path for clients already speaking the de-facto API —
+        # the native /generate endpoint stays the richer surface (token-id
+        # prompts, greedy flag, repetition penalty).
+        # ------------------------------------------------------------------
+        def _v1(self, req, chat: bool):
+            if req.get("n", 1) != 1:
+                return self._json(400, {"error": "n > 1 is not supported"})
+            if chat:
+                msgs = req.get("messages")
+                if not isinstance(msgs, list) or not msgs:
+                    return self._json(400, {"error": "missing 'messages'"})
+                try:
+                    text = server.tok.apply_chat_template(msgs)
+                except Exception as e:
+                    return self._json(400, {"error": f"bad messages: {e}"})
+                ids = server.tok.encode(text)
+            else:
+                prompt = req.get("prompt")
+                if isinstance(prompt, str):
+                    ids = server.tok.encode(prompt)
+                elif (isinstance(prompt, list)
+                      and all(type(x) is int for x in prompt)):
+                    ids = prompt
+                else:
+                    return self._json(400, {
+                        "error": "'prompt' must be str or [int]"})
+            if not ids:
+                return self._json(400, {"error": "empty prompt"})
+
+            import dataclasses
+
+            sp = server.default_sp
+            overrides = {}
+            if "temperature" in req:
+                t = req["temperature"]
+                # OpenAI semantics: temperature 0 means deterministic
+                if t == 0:
+                    overrides["greedy"] = True
+                else:
+                    overrides["temperature"] = float(t)
+            if "top_p" in req:
+                overrides["top_p"] = float(req["top_p"])
+            if overrides:
+                sp = dataclasses.replace(sp, **overrides)
+            max_new = int(req.get("max_tokens", 16 if not chat else 512))
+            stop = req.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            if not (isinstance(stop, list)
+                    and all(isinstance(s, str) for s in stop)):
+                return self._json(400, {"error": "stop must be str or [str]"})
+            timeout_s = float(req.get("timeout_s", 600))
+            w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s)
+            oid = f"{'chatcmpl' if chat else 'cmpl'}-{rid}"
+            if req.get("stream"):
+                return self._v1_stream(w, rid, oid, chat, stop, timeout_s)
+            if not w.event.wait(timeout=timeout_s + 30):
+                server.cancel(rid)
+                return self._json(504, {"error": "generation timed out"})
+            f = w.result
+            if f.finish_reason in ("timeout", "cancelled"):
+                return self._json(504, {"error": f.finish_reason})
+            text = server.tok.decode(f.token_ids)
+            finish = {"eos": "stop", "length": "length"}.get(
+                f.finish_reason, f.finish_reason)
+            for s in stop:
+                i = text.find(s)
+                if i >= 0:
+                    text, finish = text[:i], "stop"
+                    break
+            choice = ({"index": 0, "finish_reason": finish,
+                       "message": {"role": "assistant", "content": text}}
+                      if chat else
+                      {"index": 0, "finish_reason": finish, "text": text})
+            return self._json(200, {
+                "id": oid,
+                "object": "chat.completion" if chat else "text_completion",
+                "created": int(time.time()),
+                "model": server.cfg.name,
+                "choices": [choice],
+                "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(f.token_ids),
+                    "total_tokens": len(ids) + len(f.token_ids),
+                },
+            })
+
+        def _v1_stream(self, w, rid, oid, chat, stop, timeout_s):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            obj = "chat.completion.chunk" if chat else "text_completion"
+            deadline = time.monotonic() + timeout_s + 30
+            acc = ""
+
+            def chunk(delta, finish=None):
+                c = ({"index": 0, "finish_reason": finish,
+                      "delta": ({"content": delta} if delta else {})}
+                     if chat else
+                     {"index": 0, "finish_reason": finish, "text": delta})
+                return {"id": oid, "object": obj,
+                        "created": int(time.time()),
+                        "model": server.cfg.name, "choices": [c]}
+
+            try:
+                stopped = False
+                while not w.event.is_set() or not w.tokens.empty():
+                    try:
+                        tok = w.tokens.get(timeout=0.1)
+                    except queue.Empty:
+                        if time.monotonic() > deadline:
+                            server.cancel(rid)
+                            break
+                        continue
+                    piece = server.tok.decode([tok])
+                    acc += piece
+                    hit = next((s for s in stop if s in acc), None)
+                    if hit is not None:
+                        # emit up to the stop string, then cancel
+                        keep = acc[: acc.find(hit)]
+                        tail = keep[len(acc) - len(piece):]
+                        if tail:
+                            self.wfile.write(
+                                f"data: {json.dumps(chunk(tail))}\n\n".encode())
+                        server.cancel(rid)
+                        stopped = True
+                        break
+                    self.wfile.write(
+                        f"data: {json.dumps(chunk(piece))}\n\n".encode())
+                    self.wfile.flush()
+                f = w.result
+                finish = ("stop" if stopped else
+                          {"eos": "stop", "length": "length"}.get(
+                              f.finish_reason, f.finish_reason)
+                          if f is not None else "timeout")
+                self.wfile.write(
+                    f"data: {json.dumps(chunk('', finish))}\n\n".encode())
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                server.cancel(rid)
+
         def do_POST(self):
-            if self.path != "/generate":
-                return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": f"bad json: {e}"})
+            if self.path == "/v1/completions":
+                return self._v1(req, chat=False)
+            if self.path == "/v1/chat/completions":
+                return self._v1(req, chat=True)
+            if self.path != "/generate":
+                return self._json(404, {"error": "not found"})
 
             prompt = req.get("prompt")
             if prompt is None:

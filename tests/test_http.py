@@ -100,3 +100,78 @@ def test_bad_requests(http_server):
     port = http_server
     assert _post(port, {}).status == 400
     assert _post(port, {"prompt": 42}).status == 400
+
+
+def _post_path(port, path, body, timeout=120):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    return conn.getresponse()
+
+
+def test_v1_completions(http_server):
+    port = http_server
+    r = _post_path(port, "/v1/completions",
+                   {"prompt": [5, 9, 17], "max_tokens": 6, "temperature": 0})
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+    assert isinstance(out["choices"][0]["text"], str)
+    assert out["usage"]["prompt_tokens"] == 3
+    assert 1 <= out["usage"]["completion_tokens"] <= 6
+    # determinism at temperature 0 (OpenAI semantics -> greedy)
+    r2 = _post_path(port, "/v1/completions",
+                    {"prompt": [5, 9, 17], "max_tokens": 6, "temperature": 0})
+    assert json.loads(r2.read())["choices"][0]["text"] == \
+        out["choices"][0]["text"]
+
+
+def test_v1_chat_completions_and_models(http_server):
+    port = http_server
+    r = _post_path(port, "/v1/chat/completions",
+                   {"messages": [{"role": "user", "content": "abc"}],
+                    "max_tokens": 5, "temperature": 0})
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/v1/models")
+    models = json.loads(conn.getresponse().read())
+    assert models["data"][0]["id"] == CFG.name
+
+    # bad requests
+    assert _post_path(port, "/v1/chat/completions", {}).status == 400
+    assert _post_path(port, "/v1/completions",
+                      {"prompt": [1], "n": 2}).status == 400
+
+
+def test_v1_completions_stream_and_stop(http_server):
+    port = http_server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": [5, 9, 17], "max_tokens": 8,
+                             "temperature": 0, "stream": True}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert "text/event-stream" in r.getheader("Content-Type", "")
+    events = []
+    buf = b""
+    while True:
+        chunk = r.read(1)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n\n" in buf:
+            ev, buf = buf.split(b"\n\n", 1)
+            events.append(ev.decode())
+    assert events[-1] == "data: [DONE]"
+    payloads = [json.loads(e[6:]) for e in events[:-1]]
+    assert all(p["object"] == "text_completion" for p in payloads)
+    assert payloads[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    text = "".join(p["choices"][0]["text"] or "" for p in payloads)
+    assert text  # streamed text assembled
