@@ -100,7 +100,7 @@ def run_decode_config(cfg, params, *, batch, steps, prompt_len, bits,
     from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
     max_seq = prompt_len + steps + warmup + 16
-    kv_dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    kv_dtype = {8: jnp.int8, 32: jnp.float32}.get(kv_bits, jnp.bfloat16)
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)
     pumped = want_pumped and pumped_supported(cfg, params, cache, batch)
@@ -325,6 +325,28 @@ def main():
                 warmup=warmup, chunk=chunk, want_pumped=False))
         except Exception as e:  # keep the headline even if the extra fails
             log(f"absolute-config bench failed: {e!r}")
+
+    if os.environ.get("BENCH_MOE") == "1":
+        # Qwen3-30B-A3B-shaped MoE row (VERDICT r2 #2): the full model's
+        # INT4 experts (~14.5 GB) exceed one v5e's HBM next to any KV, so
+        # the row runs the exact per-layer shape at BENCH_MOE_LAYERS
+        # layers — per-layer cost is what the grouped kernel determines;
+        # whole-model numbers scale linearly in L
+        try:
+            moe_layers = int(os.environ.get("BENCH_MOE_LAYERS", "24"))
+            moe_cfg = ModelConfig.from_pretrained("qwen3-30b-a3b").replace(
+                num_layers=moe_layers, name=f"qwen3-30b-a3b-L{moe_layers}")
+            moe_params = build_params(moe_cfg, bits, gs, False)
+            jax.block_until_ready(moe_params)
+            log(f"moe params ready: {tree_bytes(moe_params)/1e9:.2f} GB")
+            lines.append(run_decode_config(
+                moe_cfg, moe_params,
+                batch=int(os.environ.get("BENCH_MOE_BATCH", "32")),
+                steps=max(16, steps // 2), prompt_len=512, bits=bits,
+                kv_bits=8, warmup=warmup, chunk=chunk, want_pumped=False))
+            del moe_params
+        except Exception as e:
+            log(f"moe bench failed: {e!r}")
 
     if want_spec:
         try:
