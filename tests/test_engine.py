@@ -608,3 +608,43 @@ def test_seen_mask_not_polluted_by_prefilling_slots():
         return done[0].token_ids
 
     assert serve_b(True) == serve_b(False)
+
+
+def test_scheduler_fuzz_invariants_speculative():
+    """The fuzz churn with SPECULATION on: spec rounds write up to spec_k
+    positions past the final token, so the page budget and invariants must
+    hold through mixed draft-hit/miss rounds, cancels, and prefix reuse.
+    Repetitive prompts from a tiny token alphabet force real PLD hits."""
+    rng = np.random.default_rng(321)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=3, page_size=4, num_pages=64,
+        max_pages_per_seq=12, sampling=GREEDY, kv_dtype=jnp.float32,
+        prefill_chunk=16, speculative=True, spec_k=3, spec_ngram=2,
+    )
+    submitted = 0
+    all_ids = []
+    finished = []
+    for it in range(50):
+        action = rng.random()
+        if action < 0.5 and submitted < 14:
+            base = rng.integers(1, 6, int(rng.integers(2, 5))).tolist()
+            cb.submit(Request(request_id=submitted,
+                              prompt=(base * 4)[:16],
+                              max_new_tokens=int(rng.integers(1, 10))))
+            all_ids.append(submitted)
+            submitted += 1
+        elif action < 0.6 and all_ids:
+            cb.cancel(int(rng.choice(all_ids)))
+        finished += cb.step()
+        cb.check_page_invariants()
+    finished += cb.run_to_completion()
+    ids = [f.request_id for f in finished]
+    assert len(set(ids)) == len(ids), "completion delivered twice"
+    assert set(ids) == set(all_ids), "request lost or never terminated"
+    assert not cb.has_work()
+    assert sorted(cb._free_pages + list(cb._cached_free)) == list(
+        range(1, cb.num_pages))
+    cb.check_page_invariants()
+    # the churn must actually exercise speculation (deterministic seed:
+    # 9 rounds at ~3.1 accepted tokens/forward)
+    assert cb.metrics.snapshot()["spec_rounds"] > 0
