@@ -166,11 +166,14 @@ def _make_handler(server: Server):
             return self._json(404, {"error": "not found"})
 
         def _stream(self, w, rid, timeout_s):
+            from qwen_inference_engine_tpu.tokenizer import StreamDecoder
+
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             deadline = time.monotonic() + timeout_s + 30
+            dec = StreamDecoder(server.tok)  # multi-byte chars span tokens
             try:
                 while not w.event.is_set() or not w.tokens.empty():
                     try:
@@ -180,7 +183,7 @@ def _make_handler(server: Server):
                             server.cancel(rid)
                             break
                         continue
-                    ev = {"token_id": tok, "text": server.tok.decode([tok])}
+                    ev = {"token_id": tok, "text": dec.push(tok)}
                     self.wfile.write(
                         f"data: {json.dumps(ev)}\n\n".encode())
                     self.wfile.flush()
@@ -285,12 +288,15 @@ def _make_handler(server: Server):
             })
 
         def _v1_stream(self, w, rid, oid, chat, stop, timeout_s):
+            from qwen_inference_engine_tpu.tokenizer import StreamDecoder
+
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             obj = "chat.completion.chunk" if chat else "text_completion"
             deadline = time.monotonic() + timeout_s + 30
+            dec = StreamDecoder(server.tok)  # multi-byte chars span tokens
             acc = ""
 
             def chunk(delta, finish=None):
@@ -312,7 +318,7 @@ def _make_handler(server: Server):
                             server.cancel(rid)
                             break
                         continue
-                    piece = server.tok.decode([tok])
+                    piece = dec.push(tok)
                     acc += piece
                     hit = next((s for s in stop if s in acc), None)
                     if hit is not None:

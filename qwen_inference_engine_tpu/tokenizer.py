@@ -78,3 +78,39 @@ def load_tokenizer(path_or_name: Optional[str] = None):
                 except Exception:
                     break
     return ByteTokenizer()
+
+
+class StreamDecoder:
+    """Incremental detokenizer for streaming responses.
+
+    ``decode([tok])`` per token is wrong for byte-level BPE: a multi-byte
+    UTF-8 character can span tokens, so per-token decodes emit U+FFFD
+    replacement characters mid-stream. This decodes the FULL id sequence
+    each push and emits only the stable suffix delta, holding back text
+    that still ends in a replacement character (a partial code point that
+    the next token may complete).
+    """
+
+    def __init__(self, tok):
+        self._tok = tok
+        self._ids: List[int] = []
+        self._emitted = 0
+
+    def push(self, token_id: int) -> str:
+        self._ids.append(token_id)
+        text = self._tok.decode(self._ids)
+        # hold back a trailing partial code point; emit it once completed
+        # (or at flush). A genuine U+FFFD in the vocab is delayed by one
+        # token, never lost.
+        end = len(text)
+        while end > self._emitted and text[end - 1] == "�":
+            end -= 1
+        delta = text[self._emitted:end]
+        self._emitted = end
+        return delta
+
+    def flush(self) -> str:
+        text = self._tok.decode(self._ids)
+        delta = text[self._emitted:]
+        self._emitted = len(text)
+        return delta

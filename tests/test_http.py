@@ -175,3 +175,19 @@ def test_v1_completions_stream_and_stop(http_server):
     assert payloads[-1]["choices"][0]["finish_reason"] in ("stop", "length")
     text = "".join(p["choices"][0]["text"] or "" for p in payloads)
     assert text  # streamed text assembled
+
+
+def test_stream_decoder_multibyte_utf8():
+    """Per-token decode of byte-level tokens must not emit U+FFFD for
+    characters whose UTF-8 bytes span tokens (the SSE streaming path)."""
+    from qwen_inference_engine_tpu.tokenizer import ByteTokenizer, StreamDecoder
+
+    tok = ByteTokenizer()
+    text = "héllo 世界 🙂"
+    ids = tok.encode(text)
+    dec = StreamDecoder(tok)
+    out = "".join(dec.push(i) for i in ids) + dec.flush()
+    assert out == text
+    # naive per-token decoding mangles the same stream
+    naive = "".join(tok.decode([i]) for i in ids)
+    assert "�" in naive and naive != text
