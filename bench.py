@@ -100,7 +100,9 @@ def run_decode_config(cfg, params, *, batch, steps, prompt_len, bits,
     from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample
 
     max_seq = prompt_len + steps + warmup + 16
-    kv_dtype = {8: jnp.int8, 32: jnp.float32}.get(kv_bits, jnp.bfloat16)
+    from qwen_inference_engine_tpu.kvcache.cache import kv_dtype_from_bits
+
+    kv_dtype = kv_dtype_from_bits(kv_bits)
     cache = KVCache.create(cfg.num_layers, batch, max_seq, cfg.num_kv_heads,
                            cfg.head_dim, dtype=kv_dtype)
     pumped = want_pumped and pumped_supported(cfg, params, cache, batch)
@@ -206,7 +208,9 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         (rng.integers(0, cfg.vocab_size, period).tolist()) * reps
         for _ in range(batch)
     ]
-    kv_dtype = {8: jnp.int8, 32: jnp.float32}.get(kv_bits, jnp.bfloat16)
+    from qwen_inference_engine_tpu.kvcache.cache import kv_dtype_from_bits
+
+    kv_dtype = kv_dtype_from_bits(kv_bits)
     total_tokens = prompt_len + max_new + spec_k
     pages_per_seq = -(-total_tokens // page_size) + 1
 

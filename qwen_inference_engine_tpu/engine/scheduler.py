@@ -496,16 +496,13 @@ class ContinuousBatchingEngine:
                 drafts[s.slot] = -1  # never matches a sampled chain token
             pos0[s.slot] = s.seq_len
             tables[s.slot] = self._block_tables[s.slot]
-        active = np.zeros((self.max_slots,), bool)
-        for s in decoding:
-            active[s.slot] = True
         fn = self._jit_verify()
         rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                   100_000 + self._step_count)
         chain, n_new, self.cache, self._seen = fn(
             self.params, jnp.asarray(toks), jnp.asarray(pos0), self.cache,
             jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
-            jnp.asarray(drafts), jnp.asarray(active),
+            jnp.asarray(drafts), self._active_mask(decoding),
         )
         self._step_count += 1
         chain_np = np.asarray(chain)      # ONE host sync for the round
@@ -531,6 +528,14 @@ class ContinuousBatchingEngine:
                     break
         self.metrics.observe_decode(kept, elapsed)
         self.metrics.observe_spec(1, kept)
+
+    def _active_mask(self, decoding) -> jax.Array:
+        """[max_slots] bool: slots decoding THIS tick (seen-mask updates
+        and emissions are gated on it so mid-prefill slots stay clean)."""
+        m = np.zeros((self.max_slots,), bool)
+        for s in decoding:
+            m[s.slot] = True
+        return jnp.asarray(m)
 
     def _sp_dyn_one(self, sp: SamplingParams):
         """Single-row dynamic sampling params (prefill piece)."""
@@ -918,16 +923,13 @@ class ContinuousBatchingEngine:
                 toks[s.slot] = s.last_token
                 pos[s.slot] = s.seq_len  # next write position
                 tables[s.slot] = self._block_tables[s.slot]
-            active = np.zeros((self.max_slots,), bool)
-            for s in decoding:
-                active[s.slot] = True
             fn = self._jit_decode()
             rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                       100_000 + self._step_count)
             nxt, self.cache, self._seen = fn(
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
                 jnp.asarray(tables), rkey, self._sp_dyn_rows(), self._seen,
-                jnp.asarray(active),
+                self._active_mask(decoding),
             )
             self._step_count += 1
             nxt_np = np.asarray(nxt)  # value fetch = true sync
@@ -987,10 +989,7 @@ class ContinuousBatchingEngine:
             toks[s.slot] = s.last_token
             pos0[s.slot] = s.seq_len
             tables[s.slot] = self._block_tables[s.slot]
-        active = np.zeros((self.max_slots,), bool)
-        for s in decoding:
-            active[s.slot] = True
-        active_d = jnp.asarray(active)
+        active_d = self._active_mask(decoding)
         fn = self._jit_decode()
         tables_d = jnp.asarray(tables)
         sp_rows = self._sp_dyn_rows()

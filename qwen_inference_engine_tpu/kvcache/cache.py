@@ -204,6 +204,15 @@ def paged_read(
     return gathered.swapaxes(1, 2).reshape(B, Hk, NP * PS, *rest)
 
 
+
+def kv_dtype_from_bits(bits: int):
+    """KV cache dtype for a --kv-bits style flag: 8 -> int8 (quantized
+    pool with scale slabs), 32 -> float32 (CPU serving/tests), anything
+    else -> bfloat16."""
+    import jax.numpy as jnp
+
+    return {8: jnp.int8, 32: jnp.float32}.get(bits, jnp.bfloat16)
+
 def pages_required(seq_len: int, page_size: int) -> int:
     """ceil(seq/page) — the reference eager-allocates one extra
     (iengine.cu:339-351); we allocate exactly and grow lazily."""

@@ -503,6 +503,7 @@ def forward_hidden(
             "cache_row0 (pipeline row-window decode) requires the contiguous "
             "uniform-decode kernel path (attn_impl pallas/auto-on-TPU, T==1, "
             "uniform_decode=True, supported head/seq shapes)")
+    row0 = 0 if cache_row0 is None else cache_row0
     use_mlp_kernel = False
     if want_kernels and not cfg.is_moe and "gate" in params["layers"]:
         from qwen_inference_engine_tpu.ops.fused_step import (
@@ -566,7 +567,7 @@ def forward_hidden(
 
             attn, k_c, v_c = decode_attention_appending(
                 q, cache_c["k"], cache_c["v"], k, v, l, positions[0, 0],
-                row0=0 if cache_row0 is None else cache_row0)
+                row0=row0)
             cache_c = dict(cache_c, k=k_c, v=v_c)
         elif use_contig_kernel and uniform_decode:
             # one in-place tile RMW for the whole batch (ops/kv_append.py)
@@ -583,7 +584,7 @@ def forward_hidden(
                     cache_c["k"], cache_c["v"],
                     cache_c["k_scale"], cache_c["v_scale"],
                     qk, qv, sk, sv, positions[0, 0], l,
-                    row0=0 if cache_row0 is None else cache_row0)
+                    row0=row0)
                 cache_c = dict(cache_c, k=k_c, v=v_c,
                                k_scale=ks_c, v_scale=vs_c)
             else:
@@ -593,7 +594,7 @@ def forward_hidden(
 
                 k_c, v_c = kv_append_uniform(
                     cache_c["k"], cache_c["v"], k, v, positions[0, 0], l,
-                    row0=0 if cache_row0 is None else cache_row0)
+                    row0=row0)
                 cache_c = dict(cache_c, k=k_c, v=v_c)
         elif use_verify_kernel:
             # speculative verify: T consecutive fresh rows per sequence,
@@ -690,7 +691,7 @@ def forward_hidden(
                     q, cache_c["k"], cache_c["v"],
                     cache_c["k_scale"], cache_c["v_scale"],
                     l, positions[:, 0] + 1,
-                    row0=0 if cache_row0 is None else cache_row0)
+                    row0=row0)
             else:
                 from qwen_inference_engine_tpu.ops.decode_attention import (
                     decode_attention_contiguous,
@@ -698,7 +699,7 @@ def forward_hidden(
 
                 attn = decode_attention_contiguous(
                     q, cache_c["k"], cache_c["v"], l, positions[:, 0] + 1,
-                    row0=0 if cache_row0 is None else cache_row0)
+                    row0=row0)
         elif use_verify_kernel:
             # multi-query verify attention straight off the page pool:
             # row b's token t sits at positions[b, t]; lens include the

@@ -155,8 +155,7 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
     assert e_loc <= id_cap, (
         f"{e_loc} local experts exceed the exactly-representable id range "
         f"of the {jnp.dtype(h.dtype).name} payload column ({id_cap})")
-    eid_local_col = (eid_sorted - me_dest_base(eid_sorted, e_loc)
-                     ).astype(h.dtype)[:, None]
+    eid_local_col = (eid_sorted % e_loc).astype(h.dtype)[:, None]
     payload = jnp.concatenate([xs, eid_local_col], -1)   # [M, D+1]
     if ragged:
         out_buf = jnp.zeros((P * M, D + 1), h.dtype)
@@ -212,7 +211,3 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
     out = jnp.zeros((N, D), y_sorted.dtype).at[tok].add(y_sorted * w)
     return out.astype(h.dtype)
 
-
-def me_dest_base(eid: jax.Array, e_loc: int) -> jax.Array:
-    """Global expert id -> first expert id of its owner device."""
-    return (eid // e_loc) * e_loc

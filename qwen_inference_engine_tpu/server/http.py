@@ -37,11 +37,10 @@ class _Waiter:
 
 class Server:
     def __init__(self, cfg, params, tok, mesh, args):
-        import jax.numpy as jnp
-
         from qwen_inference_engine_tpu.engine.scheduler import (
             ContinuousBatchingEngine,
         )
+        from qwen_inference_engine_tpu.kvcache.cache import kv_dtype_from_bits
         from qwen_inference_engine_tpu.ops.sampling import SamplingParams
 
         self.tok = tok
@@ -54,8 +53,7 @@ class Server:
             max_slots=args.max_slots, page_size=args.page_size,
             num_pages=args.num_pages,
             max_pages_per_seq=max(4, args.max_seq // args.page_size),
-            kv_dtype={8: jnp.int8, 32: jnp.float32}.get(
-                args.kv_bits, jnp.bfloat16),
+            kv_dtype=kv_dtype_from_bits(args.kv_bits),
             sampling=self.default_sp, seed=args.seed,
             prefix_cache=not getattr(args, "no_prefix_cache", False),
             speculative=getattr(args, "speculative", False),

@@ -93,9 +93,6 @@ def test_ep_moe_skewed_routing_no_drops():
 def test_ep_moe_quantized_experts():
     """EP routing over QUANTIZED expert shards: the Pallas grouped dequant
     kernel (interpret mode) inside shard_map, vs the dequant oracle."""
-    import contextlib
-    from unittest import mock
-
     import qwen_inference_engine_tpu.ops.grouped_matmul as gm
     from qwen_inference_engine_tpu.models.qwen import moe_mlp
     from qwen_inference_engine_tpu.ops.linear import Linear
@@ -130,17 +127,7 @@ def test_ep_moe_quantized_experts():
 
     qg_s, qu_s, qd_s = map(shard_q, (qg, qu, qd))
 
-    @contextlib.contextmanager
-    def interpret_pallas(module):
-        orig = module.pl.pallas_call
-
-        def call(*a, **k):
-            k.pop("compiler_params", None)
-            k["interpret"] = True
-            return orig(*a, **k)
-
-        with mock.patch.object(module.pl, "pallas_call", call):
-            yield
+    from tests.helpers import interpret_pallas
 
     def run(h, router, qg, qu, qd):
         def fn(h, router, qg, qu, qd):

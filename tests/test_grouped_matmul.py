@@ -5,9 +5,6 @@ The reference has no MoE and no quantization (its GEMM is the bf16 WMMA
 loop, layers/src/matrix_mul.cu:165-288); these tests gate the baseline
 mandate's "every dequant+matmul kernel" applied to expert stacks."""
 
-import contextlib
-from unittest import mock
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,19 +12,7 @@ import pytest
 
 from qwen_inference_engine_tpu.ops.linear import Linear, QuantLinear, dequantize
 from qwen_inference_engine_tpu.quant.quantize import QuantConfig, quantize_linear
-
-
-@contextlib.contextmanager
-def interpret_pallas(module):
-    orig = module.pl.pallas_call
-
-    def call(*a, **k):
-        k.pop("compiler_params", None)
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    with mock.patch.object(module.pl, "pallas_call", call):
-        yield
+from tests.helpers import interpret_pallas
 
 
 def _quant_experts(w, bits, gs):

@@ -114,27 +114,13 @@ def test_pp_1f1b_zero_copy_cache_matches_sliced(devices8):
     """ROADMAP #6: the zero-copy 1F1B variant (full cache + per-tick row
     window in the kernels' scalar prefetch) must emit exactly the tokens
     of the sliced variant / single-device decode."""
-    import contextlib
-    from unittest import mock
-
     import qwen_inference_engine_tpu.ops.decode_attention as da
     import qwen_inference_engine_tpu.ops.kv_append as ka
     from qwen_inference_engine_tpu.parallel.pp_step import (
         make_pp_decode_1f1b,
         shard_for_pp,
     )
-
-    @contextlib.contextmanager
-    def interpret(module):
-        orig = module.pl.pallas_call
-
-        def call(*a, **k):
-            k.pop("compiler_params", None)
-            k["interpret"] = True
-            return orig(*a, **k)
-
-        with mock.patch.object(module.pl, "pallas_call", call):
-            yield
+    from tests.helpers import interpret_pallas as interpret
 
     stages, b, steps, T = 4, 2, 3, 6
     mesh = make_pp_mesh(devices=devices8[:stages])
