@@ -99,6 +99,36 @@ class FinishedRequest:
     finish_reason: str    # eos | length | rejected | cancelled | timeout
 
 
+def _accept_chain(logits, drafts, rkey, sp_dyn, seen, active, *, k, k_cap,
+                  approx):
+    """Sample the model's own k+1-token chain from verify logits (seen-mask
+    sequential semantics), accept the longest draft prefix equal to it.
+
+    Returns (chain [B, k+1], n_new [B] in 1..k+1, seen'): the seen mask is
+    rebuilt from the original plus only the EMITTED tokens of ACTIVE rows,
+    so rejected positions and mid-prefill slots leave no trace."""
+    B = logits.shape[0]
+    seen0 = seen
+    rows = jnp.arange(B)
+    chain = []
+    for j in range(k + 1):
+        tok_j = sample_rows(
+            logits[:, j], jax.random.fold_in(rkey, j),
+            k_cap=k_cap, approx_top_k=approx, seen_mask=seen, **sp_dyn)
+        seen = seen.at[rows, tok_j].set(True)
+        chain.append(tok_j)
+    chain = jnp.stack(chain, axis=1)                # [B, k+1]
+    match = drafts == chain[:, :-1]
+    acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
+    n_new = jnp.sum(acc, axis=1) + 1                # [B] in 1..k+1
+    keep = jnp.logical_and(
+        jnp.arange(k + 1)[None, :] < n_new[:, None], active[:, None])
+    seen = seen0
+    for j in range(k + 1):
+        seen = seen.at[rows, chain[:, j]].max(keep[:, j])
+    return chain, n_new, seen
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -127,6 +157,8 @@ class ContinuousBatchingEngine:
         speculative: bool = False,
         spec_k: int = 4,
         spec_ngram: int = 3,
+        draft_params: Optional[dict] = None,
+        draft_cfg: Optional[ModelConfig] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -167,6 +199,26 @@ class ContinuousBatchingEngine:
         self.speculative = speculative
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
+        # DRAFT-MODEL speculation: a small same-vocab model drafts spec_k
+        # tokens per round with its own paged cache (same page indices —
+        # the two pools are written in lockstep, so the allocator, block
+        # tables, admission budget, and prefix cache are all shared).
+        # Drafter chain + target verify run in ONE jit per round: unlike
+        # prompt-lookup, no host work sits between device steps, and the
+        # drafts track the model rather than literal history echoes.
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self._model_draft = speculative and draft_params is not None
+        if self._model_draft:
+            assert draft_cfg is not None
+            assert draft_cfg.vocab_size == cfg.vocab_size, \
+                "draft model must share the target vocabulary"
+            if self._tp_step:
+                import warnings
+
+                warnings.warn("draft-model speculation has no shard_map TP "
+                              "path yet; falling back to prompt-lookup")
+                self._model_draft = False
         self.metrics = Metrics()
 
         cache = PagedKVCache.create(
@@ -174,6 +226,14 @@ class ContinuousBatchingEngine:
             cfg.num_kv_heads, cfg.head_dim, dtype=kv_dtype,
         )
         self.cache = make_sharded_cache(cache, mesh)
+        if self._model_draft:
+            dcache = PagedKVCache.create(
+                draft_cfg.num_layers, num_pages, page_size,
+                draft_cfg.num_kv_heads, draft_cfg.head_dim, dtype=kv_dtype,
+            )
+            self.draft_cache = make_sharded_cache(dcache, mesh)
+        else:
+            self.draft_cache = None
         # page 0 is the scratch page for inactive slots / unallocated entries
         self._free_pages: List[int] = list(range(num_pages - 1, 0, -1))
         # ---- automatic prefix caching (page-granular, vLLM-style) ----
@@ -329,6 +389,24 @@ class ContinuousBatchingEngine:
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(4, 8))
         return self._jit_cache[key]
 
+    def _jit_drafter_piece(self, T: int, first: bool):
+        """Drafter-side prefill of one chunk (no sampling — the drafter
+        only needs its KV cache populated in lockstep with the target)."""
+        key = ("dpiece", T, first)
+        if key not in self._jit_cache:
+            dcfg, use_pallas = self.draft_cfg, self.use_pallas
+
+            def fn(dparams, tokens, start, dcache, tables):
+                positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+                _, dcache = forward_hidden(
+                    dparams, dcfg, tokens, positions, dcache,
+                    block_tables=tables, fresh_prefill=first,
+                    use_pallas=use_pallas)
+                return dcache
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._jit_cache[key]
+
     def _cache_template(self) -> PagedKVCache:
         """Shape/dtype skeleton of the paged pool (no allocation)."""
         c = self.cache
@@ -420,32 +498,116 @@ class ContinuousBatchingEngine:
                         block_tables=tables, fresh_prefill=False,
                         ragged_multi=True, use_pallas=use_pallas)
                     logits = compute_logits(params, hidden, use_pallas)
-                seen0 = seen
-                rows = jnp.arange(B)
-                chain = []
-                for j in range(k + 1):
-                    tok_j = sample_rows(
-                        logits[:, j], jax.random.fold_in(rkey, j),
-                        k_cap=k_cap, approx_top_k=approx,
-                        seen_mask=seen, **sp_dyn)
-                    seen = seen.at[rows, tok_j].set(True)
-                    chain.append(tok_j)
-                chain = jnp.stack(chain, axis=1)            # [B, k+1]
-                match = drafts == chain[:, :-1]
-                acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
-                n_new = jnp.sum(acc, axis=1) + 1            # [B] in 1..k+1
-                # rebuild: original mask ∪ emitted tokens only (and only
-                # for slots actually decoding this round)
-                keep = jnp.logical_and(
-                    jnp.arange(k + 1)[None, :] < n_new[:, None],
-                    active[:, None])
-                seen = seen0
-                for j in range(k + 1):
-                    seen = seen.at[rows, chain[:, j]].max(keep[:, j])
+                chain, n_new, seen = _accept_chain(
+                    logits, drafts, rkey, sp_dyn, seen, active,
+                    k=k, k_cap=k_cap, approx=approx)
                 return chain, n_new, cache, seen
 
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 7))
         return self._jit_cache[key]
+
+    def _jit_spec_model(self):
+        """Fused draft-model speculation round: k+1 greedy drafter decode
+        steps (lax.scan over the small model) feeding straight into the
+        target's T=k+1 verify forward — one dispatch, zero host work
+        between drafter and verifier.
+
+        Drafter protocol (keeps its cache exactly one token behind the
+        target with NO extra bookkeeping): step 0 re-feeds h[seq_len-1]
+        (the one accepted token the drafter never ingested — its KV write
+        is fresh or idempotent), step 1 feeds last_token → draft 1, steps
+        2..k feed draft i-1 → draft i."""
+        key = ("spec_model", self.spec_k)
+        if key not in self._jit_cache:
+            cfg, dcfg = self.cfg, self.draft_cfg
+            use_pallas = self.use_pallas
+            k = self.spec_k
+            k_cap, approx = self.k_cap, self.sampling.approx_top_k
+
+            def fn(params, dparams, tok_prev, tok_last, pos0, cache, dcache,
+                   tables, rkey, sp_dyn, seen, active):
+                def dstep(carry, i):
+                    cur, dcache = carry
+                    tok_in = jnp.where(i == 0, tok_prev,
+                                       jnp.where(i == 1, tok_last, cur))
+                    logits, dcache = decode_step(
+                        dparams, dcfg, tok_in, pos0 - 1 + i, dcache,
+                        block_tables=tables, use_pallas=use_pallas)
+                    cur = jnp.argmax(logits, -1).astype(jnp.int32)
+                    return (cur, dcache), cur
+
+                (_, dcache), ys = jax.lax.scan(
+                    dstep, (tok_last, dcache),
+                    jnp.arange(k + 1, dtype=jnp.int32))
+                drafts = ys[1:].T                        # [B, k] = d1..dk
+
+                tokens = jnp.concatenate([tok_last[:, None], drafts], axis=1)
+                positions = pos0[:, None] + jnp.arange(
+                    k + 1, dtype=jnp.int32)[None, :]
+                hidden, cache = forward_hidden(
+                    params, cfg, tokens, positions, cache,
+                    block_tables=tables, fresh_prefill=False,
+                    ragged_multi=True, use_pallas=use_pallas)
+                logits = compute_logits(params, hidden, use_pallas)
+                chain, n_new, seen = _accept_chain(
+                    logits, drafts, rkey, sp_dyn, seen, active,
+                    k=k, k_cap=k_cap, approx=approx)
+                return chain, n_new, cache, dcache, seen
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(5, 6, 10))
+        return self._jit_cache[key]
+
+    def _step_speculative_model(self, decoding: List[_Running]) -> None:
+        """One draft-model speculation round across all decoding slots."""
+        k = self.spec_k
+        t0 = time.perf_counter()
+        tok_prev = np.zeros((self.max_slots,), np.int32)
+        tok_last = np.zeros((self.max_slots,), np.int32)
+        pos0 = np.zeros((self.max_slots,), np.int32)
+        tables = np.zeros_like(self._block_tables)
+        for s in decoding:
+            h = s.request.prompt + s.generated   # h[s.seq_len] == last_token
+            tok_prev[s.slot] = h[s.seq_len - 1]
+            tok_last[s.slot] = s.last_token
+            pos0[s.slot] = s.seq_len
+            tables[s.slot] = self._block_tables[s.slot]
+        fn = self._jit_spec_model()
+        rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                  100_000 + self._step_count)
+        chain, n_new, self.cache, self.draft_cache, self._seen = fn(
+            self.params, self.draft_params, jnp.asarray(tok_prev),
+            jnp.asarray(tok_last), jnp.asarray(pos0), self.cache,
+            self.draft_cache, jnp.asarray(tables), rkey,
+            self._sp_dyn_rows(), self._seen, self._active_mask(decoding),
+        )
+        self._step_count += 1
+        self._emit_spec_round(decoding, chain, n_new, t0)
+
+    def _emit_spec_round(self, decoding, chain, n_new, t0) -> None:
+        """Host-side emission shared by the PLD and draft-model rounds."""
+        chain_np = np.asarray(chain)      # ONE host sync for the round
+        n_new_np = np.asarray(n_new)
+        elapsed = time.perf_counter() - t0
+        kept = 0
+        for s in decoding:
+            n = int(n_new_np[s.slot])
+            for j in range(n):
+                tok = int(chain_np[s.slot, j])
+                s.seq_len += 1
+                self._seq_lens[s.slot] = s.seq_len
+                s.generated.append(tok)
+                s.last_token = tok
+                kept += 1
+                if self.on_token is not None:
+                    self.on_token(s.request.request_id, tok)
+                if tok in self._eos:
+                    self._finish(s, "eos")
+                    break
+                if len(s.generated) >= s.request.max_new_tokens:
+                    self._finish(s, "length")
+                    break
+        self.metrics.observe_decode(kept, elapsed)
+        self.metrics.observe_spec(1, kept)
 
     def _pld_draft_host(self, run: _Running) -> Optional[List[int]]:
         """Prompt-lookup draft: the spec_k tokens that followed the most
@@ -505,29 +667,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(drafts), self._active_mask(decoding),
         )
         self._step_count += 1
-        chain_np = np.asarray(chain)      # ONE host sync for the round
-        n_new_np = np.asarray(n_new)
-        elapsed = time.perf_counter() - t0
-        kept = 0
-        for s in decoding:
-            n = int(n_new_np[s.slot])
-            for j in range(n):
-                tok = int(chain_np[s.slot, j])
-                s.seq_len += 1
-                self._seq_lens[s.slot] = s.seq_len
-                s.generated.append(tok)
-                s.last_token = tok
-                kept += 1
-                if self.on_token is not None:
-                    self.on_token(s.request.request_id, tok)
-                if tok in self._eos:
-                    self._finish(s, "eos")
-                    break
-                if len(s.generated) >= s.request.max_new_tokens:
-                    self._finish(s, "length")
-                    break
-        self.metrics.observe_decode(kept, elapsed)
-        self.metrics.observe_spec(1, kept)
+        self._emit_spec_round(decoding, chain, n_new, t0)
 
     def _active_mask(self, decoding) -> jax.Array:
         """[max_slots] bool: slots decoding THIS tick (seen-mask updates
@@ -645,6 +785,24 @@ class ContinuousBatchingEngine:
             if t > best_t:
                 best_page, best_t = page, t
         return best_page, best_t
+
+    def _jit_copy_page_draft(self):
+        """Drafter-pool variant of _jit_copy_page (same page indices)."""
+        key = "copy_page_draft"
+        if key not in self._jit_cache:
+            def fn(cache, src, dst):
+                kp = cache.k_pages.at[:, dst].set(cache.k_pages[:, src])
+                vp = cache.v_pages.at[:, dst].set(cache.v_pages[:, src])
+                upd = dict(k_pages=kp, v_pages=vp)
+                if cache.k_scale is not None:
+                    upd["k_scale"] = cache.k_scale.at[:, dst].set(
+                        cache.k_scale[:, src])
+                    upd["v_scale"] = cache.v_scale.at[:, dst].set(
+                        cache.v_scale[:, src])
+                return dataclasses.replace(cache, **upd)
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._jit_cache[key]
 
     def _jit_copy_page(self):
         """One whole-page KV copy (src page -> dst page, all layers).
@@ -789,6 +947,11 @@ class ContinuousBatchingEngine:
             # the remainder prefills
             self.cache = self._jit_copy_page()(
                 self.cache, jnp.int32(part_src), jnp.int32(fresh[0]))
+            if self._model_draft:
+                # the drafter pool mirrors page indices; keep it in lockstep
+                self.draft_cache = self._jit_copy_page_draft()(
+                    self.draft_cache, jnp.int32(part_src),
+                    jnp.int32(fresh[0]))
             cached_len += part_t
             self._release_page(part_src)  # drop the temporary pin
         if cached_len:
@@ -835,6 +998,12 @@ class ContinuousBatchingEngine:
             jnp.asarray(self._block_tables[run.slot : run.slot + 1]),
             rkey, self._sp_dyn_one(sp), self._seen, jnp.int32(run.slot),
         )
+        if self._model_draft:
+            dfn = self._jit_drafter_piece(T, first=(start == 0))
+            self.draft_cache = dfn(
+                self.draft_params, jnp.asarray(tokens), jnp.int32(start),
+                self.draft_cache,
+                jnp.asarray(self._block_tables[run.slot : run.slot + 1]))
         run.prefilled = start + len(piece)
         self.metrics.observe_prefill(len(piece))
         self._step_count += 1
@@ -905,6 +1074,9 @@ class ContinuousBatchingEngine:
                         if s is not None and s.prefill_done]
 
         # --- one fused decode step across all decoding slots ---
+        if decoding and self.speculative and self._model_draft:
+            self._step_speculative_model(decoding)
+            return self._drain_finished()
         if decoding and self.speculative:
             host_drafts = {s.slot: self._pld_draft_host(s) for s in decoding}
             if any(d is not None for d in host_drafts.values()):

@@ -102,6 +102,39 @@ def build_model(args):
     return cfg, params, tok, mesh
 
 
+def build_draft_model(args):
+    """Optional small drafter for --speculative serving: same-vocab model
+    from --draft-ckpt (checkpoint) or --draft-model (preset, random
+    weights). Returns (draft_cfg, draft_params) or (None, None)."""
+    from qwen_inference_engine_tpu.config import ModelConfig
+    from qwen_inference_engine_tpu.loader.safetensors_loader import (
+        load_checkpoint,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.quant.quantize import (
+        QuantConfig,
+        quantize_params,
+    )
+
+    if getattr(args, "draft_ckpt", None):
+        dcfg, dparams = load_checkpoint(args.draft_ckpt)
+    elif getattr(args, "draft_model", None):
+        import jax.numpy as jnp
+
+        dcfg = ModelConfig.from_pretrained(args.draft_model)
+        dparams = init_params(dcfg, jax.random.PRNGKey(1),
+                              dtype=jnp.bfloat16)
+        print("note: no --draft-ckpt given; drafter uses RANDOM weights",
+              file=sys.stderr)
+    else:
+        return None, None
+    if args.bits < 16:
+        dparams = quantize_params(
+            dparams, QuantConfig(bits=args.bits,
+                                 group_size=args.group_size))
+    return dcfg, dparams
+
+
 def cmd_generate(args) -> int:
     import jax.numpy as jnp
 
@@ -213,6 +246,11 @@ def main(argv=None) -> int:
                    help="drafted tokens per speculation round")
     s.add_argument("--spec-ngram", type=int, default=3,
                    help="suffix length for prompt-lookup draft matching")
+    s.add_argument("--draft-model", default=None,
+                   help="small same-vocab model preset for draft-model "
+                        "speculation (replaces prompt-lookup drafts)")
+    s.add_argument("--draft-ckpt", default=None,
+                   help="checkpoint dir for the draft model")
     s.set_defaults(fn=cmd_serve)
 
     qz = sub.add_parser("quantize",

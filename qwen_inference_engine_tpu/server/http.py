@@ -58,7 +58,9 @@ class Server:
             prefix_cache=not getattr(args, "no_prefix_cache", False),
             speculative=getattr(args, "speculative", False),
             spec_k=getattr(args, "spec_k", 4),
-            spec_ngram=getattr(args, "spec_ngram", 3))
+            spec_ngram=getattr(args, "spec_ngram", 3),
+            draft_params=getattr(args, "_draft_params", None),
+            draft_cfg=getattr(args, "_draft_cfg", None))
         self._step_ticks = max(1, getattr(args, "step_ticks", 8))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}
@@ -421,9 +423,13 @@ def _make_handler(server: Server):
 
 
 def serve(args) -> int:
-    from qwen_inference_engine_tpu.server.cli import build_model
+    from qwen_inference_engine_tpu.server.cli import (
+        build_draft_model,
+        build_model,
+    )
 
     cfg, params, tok, mesh = build_model(args)
+    args._draft_cfg, args._draft_params = build_draft_model(args)
     server = Server(cfg, params, tok, mesh, args)
     httpd = ThreadingHTTPServer((args.host, args.port), _make_handler(server))
     print(f"qie serving {cfg.name} on http://{args.host}:{args.port} "

@@ -648,3 +648,74 @@ def test_scheduler_fuzz_invariants_speculative():
     # the churn must actually exercise speculation (deterministic seed:
     # 9 rounds at ~3.1 accepted tokens/forward)
     assert cb.metrics.snapshot()["spec_rounds"] > 0
+
+
+def test_draft_model_speculation_self_draft_full_accept():
+    """Draft model == target model: greedy drafts always match the greedy
+    verify chain, so every round accepts k+1 tokens — and outputs are
+    token-identical to plain greedy serving. Exercises the whole fused
+    drafter-scan + verify jit and the lockstep drafter cache."""
+    prompts = {0: [5, 9, 17, 3], 1: list(range(30, 48))}  # 18 > one page
+    expect = {rid: _manual_greedy(p, 16) for rid, p in prompts.items()}
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+        speculative=True, spec_k=3,
+        draft_params=PARAMS, draft_cfg=CFG,
+    )
+    assert cb._model_draft
+    for rid, p in prompts.items():
+        cb.submit(Request(request_id=rid, prompt=p, max_new_tokens=16))
+    by_id = {f.request_id: f for f in cb.run_to_completion()}
+    for rid in prompts:
+        got = by_id[rid].token_ids
+        assert got == expect[rid][: len(got)], (rid, got, expect[rid])
+    snap = cb.metrics.snapshot()
+    # self-drafting accepts everything: k+1 = 4 tokens per forward (the
+    # final truncated round may emit fewer)
+    assert snap["spec_tokens_per_forward"] > 3.0, snap
+    cb.check_page_invariants()
+
+
+def test_draft_model_speculation_weak_drafter_still_exact():
+    """A DIFFERENT (weaker) drafter must not change greedy outputs — only
+    the acceptance rate. The drafter here is a differently-initialized
+    tiny model, so drafts rarely match; every round still emits >= 1
+    correct token."""
+    from qwen_inference_engine_tpu.models.qwen import init_params
+
+    draft_params = init_params(CFG, jax.random.PRNGKey(999),
+                               dtype=jnp.float32)
+    prompt = [7, 8, 9, 10]
+    expect = _manual_greedy(prompt, 12)
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+        speculative=True, spec_k=3,
+        draft_params=draft_params, draft_cfg=CFG,
+    )
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=12))
+    got = cb.run_to_completion()[0].token_ids
+    assert got == expect[: len(got)], (got, expect)
+    assert cb.metrics.snapshot()["spec_rounds"] > 0
+    cb.check_page_invariants()
+
+
+def test_draft_model_speculation_with_prefix_cache():
+    """Draft-model speculation + prefix cache: a resubmitted prompt hits
+    cached pages in BOTH pools (they are written in lockstep), and the
+    second run stays token-identical."""
+    prompt = list(range(1, 21))
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=2, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+        speculative=True, spec_k=3,
+        draft_params=PARAMS, draft_cfg=CFG,
+    )
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=6))
+    first = cb.run_to_completion()[0]
+    cb.submit(Request(request_id=1, prompt=prompt, max_new_tokens=6))
+    second = cb.run_to_completion()[0]
+    assert cb.metrics.snapshot()["prefix_hit_tokens"] > 0
+    assert second.token_ids == first.token_ids
+    cb.check_page_invariants()
