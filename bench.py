@@ -214,15 +214,24 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
     total_tokens = prompt_len + max_new + spec_k
     pages_per_seq = -(-total_tokens // page_size) + 1
 
+    # BENCH_SPEC_DRAFT=self additionally measures the draft-MODEL round
+    # with the target drafting for itself: greedy self-drafts always
+    # accept, so this is the honest full-acceptance ceiling of the fused
+    # drafter-chain + verify round (the structural M-fill, end to end)
+    modes = ["plain", "spec"]
+    if os.environ.get("BENCH_SPEC_DRAFT") == "self":
+        modes.append("spec_self")
     results = {}
-    for mode in ("plain", "spec"):
+    for mode in modes:
         cb = ContinuousBatchingEngine(
             cfg, params, max_slots=batch, page_size=page_size,
             num_pages=batch * pages_per_seq + 8,
             max_pages_per_seq=pages_per_seq,
             sampling=SamplingParams(greedy=True), kv_dtype=kv_dtype,
             prefix_cache=False,
-            speculative=(mode == "spec"), spec_k=spec_k,
+            speculative=mode.startswith("spec"), spec_k=spec_k,
+            draft_params=params if mode == "spec_self" else None,
+            draft_cfg=cfg if mode == "spec_self" else None,
         )
         for rid, p in enumerate(prompts):
             cb.submit(Request(request_id=rid, prompt=p,
@@ -262,6 +271,11 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
     speedup = results["spec"][0] / results["plain"][0]
     tpf = results["spec"][2]["spec_tokens_per_forward"]
     log(f"spec bench: speedup {speedup:.2f}x, {tpf:.2f} accepted tokens/forward")
+    if "spec_self" in results:
+        su = results["spec_self"][0] / results["plain"][0]
+        tp2 = results["spec_self"][2]["spec_tokens_per_forward"]
+        log(f"spec bench [self-draft ceiling]: {results['spec_self'][0]:.1f} "
+            f"tok/s ({su:.2f}x plain, {tp2:.2f} tok/forward)")
     return {
         "metric": f"decode_tok_per_s_spec_pld_{cfg.name}_b{batch}"
                   + ("_kv8" if kv_bits == 8 else ""),

@@ -211,8 +211,13 @@ class ContinuousBatchingEngine:
         self._model_draft = speculative and draft_params is not None
         if self._model_draft:
             assert draft_cfg is not None
-            assert draft_cfg.vocab_size == cfg.vocab_size, \
-                "draft model must share the target vocabulary"
+            # real Qwen pairs differ only in vocab PADDING (e.g. 0.5B
+            # 151936 vs 7B 152064): a drafter with vocab <= target is
+            # sound (its drafts are valid target ids; target ids past the
+            # drafter's vocab clip in its embedding lookup and merely
+            # mispredict — acceptance drops, correctness never does)
+            assert draft_cfg.vocab_size <= cfg.vocab_size, \
+                "draft vocabulary must not exceed the target's"
             if self._tp_step:
                 import warnings
 
@@ -607,7 +612,9 @@ class ContinuousBatchingEngine:
                     self._finish(s, "length")
                     break
         self.metrics.observe_decode(kept, elapsed)
-        self.metrics.observe_spec(1, kept)
+        # per-ROW normalization: tokens_per_forward then reads as average
+        # accepted tokens per sequence per verify forward (1..k+1)
+        self.metrics.observe_spec(len(decoding), kept)
 
     def _pld_draft_host(self, run: _Running) -> Optional[List[int]]:
         """Prompt-lookup draft: the spec_k tokens that followed the most

@@ -73,7 +73,7 @@ class Metrics:
                 ),
                 "prefill_tokens": self._prefill_tokens,
                 "prefix_hit_tokens": self._prefix_hit_tokens,
-                "spec_rounds": self._spec_rounds,
+                "spec_rounds": self._spec_rounds,  # row-rounds (B per tick)
                 "spec_tokens_per_forward": (
                     self._spec_tokens / self._spec_rounds
                     if self._spec_rounds else 0.0
