@@ -691,6 +691,8 @@ class ContinuousBatchingEngine:
             "top_p": jnp.asarray([sp.top_p], jnp.float32),
             "repetition_penalty": jnp.asarray([sp.repetition_penalty],
                                               jnp.float32),
+            "presence_penalty": jnp.asarray([sp.presence_penalty],
+                                            jnp.float32),
             "top_k": jnp.asarray([sp.top_k], jnp.int32),
             "greedy": jnp.asarray([sp.greedy], jnp.bool_),
         }
@@ -706,6 +708,8 @@ class ContinuousBatchingEngine:
         p = _np.full((self.max_slots,), self.sampling.top_p, _np.float32)
         r = _np.full((self.max_slots,), self.sampling.repetition_penalty,
                      _np.float32)
+        pp = _np.full((self.max_slots,), self.sampling.presence_penalty,
+                      _np.float32)
         k = _np.full((self.max_slots,), self.sampling.top_k, _np.int32)
         g = _np.full((self.max_slots,), self.sampling.greedy, bool)
         for s_ in self._slots:
@@ -714,10 +718,12 @@ class ContinuousBatchingEngine:
                 t[s_.slot] = sp.temperature
                 p[s_.slot] = sp.top_p
                 r[s_.slot] = sp.repetition_penalty
+                pp[s_.slot] = sp.presence_penalty
                 k[s_.slot] = sp.top_k
                 g[s_.slot] = sp.greedy
         return {"temperature": jnp.asarray(t), "top_p": jnp.asarray(p),
                 "repetition_penalty": jnp.asarray(r),
+                "presence_penalty": jnp.asarray(pp),
                 "top_k": jnp.asarray(k), "greedy": jnp.asarray(g)}
 
     # ---------------- prefix-cache page accounting --------------------

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["temperature", "top_p", "repetition_penalty"],
+    data_fields=["temperature", "top_p", "repetition_penalty",
+                 "presence_penalty"],
     meta_fields=["top_k", "greedy", "approx_top_k"],
 )
 @dataclasses.dataclass
@@ -49,6 +50,9 @@ class SamplingParams:
     temperature: float = 0.7
     top_p: float = 1.0
     repetition_penalty: float = 1.0
+    # OpenAI-style additive presence penalty: logits of already-seen
+    # tokens are reduced by this amount (0 = off; typical range 0..2)
+    presence_penalty: float = 0.0
     top_k: int = 50
     greedy: bool = False
     approx_top_k: bool = False
@@ -78,6 +82,11 @@ def sample(
     logits = logits.astype(jnp.float32)
     if seen_mask is not None:
         logits = apply_repetition_penalty(logits, seen_mask, params.repetition_penalty)
+        if params.presence_penalty:
+            pp = jnp.broadcast_to(
+                jnp.asarray(params.presence_penalty, jnp.float32),
+                logits.shape[:1])
+            logits = logits - jnp.where(seen_mask, pp[:, None], 0.0)
 
     if params.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -129,6 +138,7 @@ def sample_rows(
     top_k: jax.Array,                # [B] int32 (0 or >k_cap → k_cap)
     greedy: jax.Array,               # [B] bool
     repetition_penalty: jax.Array,   # [B] f32
+    presence_penalty: jax.Array | None = None,   # [B] f32 additive
     seen_mask: jax.Array | None = None,
     approx_top_k: bool = False,
 ) -> jax.Array:
@@ -143,6 +153,9 @@ def sample_rows(
     logits = logits.astype(jnp.float32)
     if seen_mask is not None:
         logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+        if presence_penalty is not None:
+            logits = logits - jnp.where(seen_mask,
+                                        presence_penalty[:, None], 0.0)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]

@@ -242,6 +242,8 @@ def _make_handler(server: Server):
                     overrides["temperature"] = float(t)
             if "top_p" in req:
                 overrides["top_p"] = float(req["top_p"])
+            if "presence_penalty" in req:
+                overrides["presence_penalty"] = float(req["presence_penalty"])
             if overrides:
                 sp = dataclasses.replace(sp, **overrides)
             max_new = int(req.get("max_tokens", 16 if not chat else 512))
@@ -379,7 +381,8 @@ def _make_handler(server: Server):
 
             sp = server.default_sp
             overrides = {k: req[k] for k in
-                         ("temperature", "top_p", "repetition_penalty")
+                         ("temperature", "top_p", "repetition_penalty",
+                          "presence_penalty")
                          if k in req}
             meta = {k: req[k] for k in ("top_k", "greedy") if k in req}
             if "top_k" in meta:

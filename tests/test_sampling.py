@@ -69,3 +69,33 @@ def test_seen_mask_tracking():
     np.testing.assert_array_equal(np.asarray(mask), expect)
     mask = update_seen_mask(mask, jnp.asarray([2]))
     assert bool(mask[0, 2])
+
+
+def test_presence_penalty_blocks_repeats():
+    """Additive presence penalty (OpenAI semantics): a large penalty makes
+    seen tokens unreachable even for greedy argmax; 0 changes nothing."""
+    import numpy as np
+
+    from qwen_inference_engine_tpu.ops.sampling import sample_rows
+
+    V = 16
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, V)).astype(np.float32))
+    seen = jnp.zeros((2, V), bool).at[0, int(jnp.argmax(logits[0]))].set(True)
+    kw = dict(
+        k_cap=8,
+        temperature=jnp.ones((2,), jnp.float32),
+        top_p=jnp.ones((2,), jnp.float32),
+        top_k=jnp.zeros((2,), jnp.int32),
+        greedy=jnp.ones((2,), bool),
+        repetition_penalty=jnp.ones((2,), jnp.float32),
+    )
+    base = sample_rows(logits, jax.random.PRNGKey(0), seen_mask=seen,
+                       presence_penalty=jnp.zeros((2,), jnp.float32), **kw)
+    pen = sample_rows(logits, jax.random.PRNGKey(0), seen_mask=seen,
+                      presence_penalty=jnp.full((2,), 100.0, jnp.float32),
+                      **kw)
+    # row 0's argmax was seen: the penalty must move it; row 1 unchanged
+    assert int(base[0]) == int(jnp.argmax(logits[0]))
+    assert int(pen[0]) != int(base[0])
+    assert int(pen[1]) == int(base[1])
