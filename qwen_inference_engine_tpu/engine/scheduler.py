@@ -66,6 +66,9 @@ class Request:
     # (the reference has no notion of this: its engine runs one request to
     # completion unconditionally)
     timeout_s: Optional[float] = None
+    # extra per-request stop token ids (on top of the model's EOS set;
+    # like EOS, the stop token is the final entry of the output)
+    stop_token_ids: Optional[Sequence[int]] = None
 
 
 @dataclasses.dataclass
@@ -134,6 +137,11 @@ def _bucket(n: int, minimum: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _is_stop(tok: int, eos: set, run: "_Running") -> bool:
+    st = run.request.stop_token_ids
+    return tok in eos or (st is not None and tok in st)
 
 
 class ContinuousBatchingEngine:
@@ -605,7 +613,7 @@ class ContinuousBatchingEngine:
                 kept += 1
                 if self.on_token is not None:
                     self.on_token(s.request.request_id, tok)
-                if tok in self._eos:
+                if _is_stop(tok, self._eos, s):
                     self._finish(s, "eos")
                     break
                 if len(s.generated) >= s.request.max_new_tokens:
@@ -1030,8 +1038,10 @@ class ContinuousBatchingEngine:
         run.last_token = first
         if self.on_token is not None:
             self.on_token(run.request.request_id, first)
-        if first in self._eos or len(run.generated) >= run.request.max_new_tokens:
-            self._finish(run, "eos" if first in self._eos else "length")
+        if (_is_stop(first, self._eos, run)
+                or len(run.generated) >= run.request.max_new_tokens):
+            self._finish(run, "eos" if _is_stop(first, self._eos, run)
+                         else "length")
 
     def _finish(self, run: _Running, reason: str) -> None:
         self._finished.append(
@@ -1130,7 +1140,7 @@ class ContinuousBatchingEngine:
                 s.last_token = tok
                 if self.on_token is not None:
                     self.on_token(s.request.request_id, tok)
-                if tok in self._eos:
+                if _is_stop(tok, self._eos, s):
                     self._finish(s, "eos")
                 elif len(s.generated) >= s.request.max_new_tokens:
                     self._finish(s, "length")
@@ -1202,7 +1212,7 @@ class ContinuousBatchingEngine:
                 kept += 1
                 if self.on_token is not None:
                     self.on_token(s.request.request_id, tok)
-                if tok in self._eos:
+                if _is_stop(tok, self._eos, s):
                     # roll back the ticks this row ran past its EOS; its
                     # pages are freed wholesale so the stale KV is gone
                     self._finish(s, "eos")

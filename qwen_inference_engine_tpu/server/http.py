@@ -114,7 +114,7 @@ class Server:
                     self._waiters.clear()
 
     def submit(self, prompt_ids, max_new_tokens, sampling,
-               timeout_s=None):
+               timeout_s=None, stop_token_ids=None):
         from qwen_inference_engine_tpu.engine.scheduler import Request
 
         w = _Waiter()
@@ -125,7 +125,8 @@ class Server:
             self.engine.submit(Request(request_id=rid, prompt=list(prompt_ids),
                                        max_new_tokens=max_new_tokens,
                                        sampling=sampling,
-                                       timeout_s=timeout_s))
+                                       timeout_s=timeout_s,
+                                       stop_token_ids=stop_token_ids))
         self._wake.set()
         return w, rid
 
@@ -401,9 +402,15 @@ def _make_handler(server: Server):
             if overrides or meta:
                 sp = dataclasses.replace(sp, **overrides, **meta)
             max_new = int(req.get("max_new_tokens", 128))
+            stop_ids = req.get("stop_token_ids")
+            if stop_ids is not None and not (
+                    isinstance(stop_ids, list)
+                    and all(type(x) is int for x in stop_ids)):
+                return self._json(400, {"error": "stop_token_ids: [int]"})
 
             timeout_s = float(req.get("timeout_s", 600))
-            w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s)
+            w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s,
+                                   stop_token_ids=stop_ids)
             if req.get("stream"):
                 return self._stream(w, rid, timeout_s)
             if not w.event.wait(timeout=timeout_s + 30):

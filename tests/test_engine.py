@@ -719,3 +719,21 @@ def test_draft_model_speculation_with_prefix_cache():
     assert cb.metrics.snapshot()["prefix_hit_tokens"] > 0
     assert second.token_ids == first.token_ids
     cb.check_page_invariants()
+
+
+def test_per_request_stop_token_ids():
+    """A request-supplied stop id terminates generation like EOS (the
+    reference hardcodes one EOS; per-request stop sets are serving API
+    table stakes)."""
+    prompt = [5, 9, 17, 3]
+    full = _manual_greedy(prompt, 10)
+    assert len(full) >= 3
+    stop_at = full[2]          # stop on the third greedy token
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=1, page_size=8, num_pages=64,
+        max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32)
+    cb.submit(Request(request_id=0, prompt=prompt, max_new_tokens=10,
+                      stop_token_ids=[stop_at]))
+    out = cb.run_to_completion()[0]
+    assert out.finish_reason == "eos"
+    assert out.token_ids == full[:3], (out.token_ids, full)
