@@ -259,15 +259,43 @@ def _make_handler(server: Server):
             oid = f"{'chatcmpl' if chat else 'cmpl'}-{rid}"
             if req.get("stream"):
                 return self._v1_stream(w, rid, oid, chat, stop, timeout_s)
-            if not w.event.wait(timeout=timeout_s + 30):
-                server.cancel(rid)
-                return self._json(504, {"error": "generation timed out"})
-            f = w.result
-            if f.finish_reason in ("timeout", "cancelled"):
-                return self._json(504, {"error": f.finish_reason})
-            text = server.tok.decode(f.token_ids)
-            finish = {"eos": "stop", "length": "length"}.get(
-                f.finish_reason, f.finish_reason)
+            n_completion = None
+            if stop:
+                # watch the live token stream so a stop-string hit CANCELS
+                # generation instead of letting it run to max_tokens and
+                # truncating post-hoc
+                from qwen_inference_engine_tpu.tokenizer import StreamDecoder
+
+                dec = StreamDecoder(server.tok)
+                acc, n_toks = "", 0
+                deadline = time.monotonic() + timeout_s + 30
+                stopped_early = False
+                while not w.event.is_set() or not w.tokens.empty():
+                    try:
+                        acc += dec.push(w.tokens.get(timeout=0.1))
+                        n_toks += 1
+                    except queue.Empty:
+                        if time.monotonic() > deadline:
+                            break
+                        continue
+                    if any(s in acc for s in stop):
+                        server.cancel(rid)  # pops the waiter: keep acc
+                        stopped_early = True
+                        break
+                if stopped_early:
+                    acc += dec.flush()
+                    text, finish, n_completion = acc, "stop", n_toks
+            if n_completion is None:
+                if not w.event.wait(timeout=timeout_s + 30):
+                    server.cancel(rid)
+                    return self._json(504, {"error": "generation timed out"})
+                f = w.result
+                if f.finish_reason in ("timeout", "cancelled"):
+                    return self._json(504, {"error": f.finish_reason})
+                text = server.tok.decode(f.token_ids)
+                finish = {"eos": "stop", "length": "length"}.get(
+                    f.finish_reason, f.finish_reason)
+                n_completion = len(f.token_ids)
             for s in stop:
                 i = text.find(s)
                 if i >= 0:
@@ -285,8 +313,8 @@ def _make_handler(server: Server):
                 "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(ids),
-                    "completion_tokens": len(f.token_ids),
-                    "total_tokens": len(ids) + len(f.token_ids),
+                    "completion_tokens": n_completion,
+                    "total_tokens": len(ids) + n_completion,
                 },
             })
 

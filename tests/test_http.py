@@ -191,3 +191,23 @@ def test_stream_decoder_multibyte_utf8():
     # naive per-token decoding mangles the same stream
     naive = "".join(tok.decode([i]) for i in ids)
     assert "�" in naive and naive != text
+
+
+def test_v1_completions_stop_string_cancels_early(http_server):
+    """Non-stream completion with a stop string: generation is cancelled
+    as soon as the stop text appears (not run to max_tokens), output is
+    truncated before the stop string and finish_reason is 'stop'."""
+    port = http_server
+    # learn the deterministic stream's first token's text
+    r = _post_path(port, "/v1/completions",
+                   {"prompt": [5, 9, 17], "max_tokens": 2, "temperature": 0})
+    first_text = json.loads(r.read())["choices"][0]["text"]
+    probe = first_text.split()[0]  # _IdTokenizer joins ids with spaces
+    r = _post_path(port, "/v1/completions",
+                   {"prompt": [5, 9, 17], "max_tokens": 48, "temperature": 0,
+                    "stop": [probe]})
+    out = json.loads(r.read())
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert probe not in out["choices"][0]["text"]
+    # cancelled well before max_tokens
+    assert out["usage"]["completion_tokens"] < 48
