@@ -112,7 +112,8 @@ class Engine:
         self.use_pallas = use_pallas
         self.metrics = Metrics()
         if track_repetition is None:
-            track_repetition = (self.sampling.repetition_penalty != 1.0)
+            track_repetition = (self.sampling.repetition_penalty != 1.0
+                                or self.sampling.presence_penalty != 0.0)
         self.track_repetition = track_repetition
 
         if mesh is not None:
@@ -177,7 +178,8 @@ class Engine:
                                                 use_pallas=use_pallas)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
-                repetition_penalty=sp["repetition_penalty"])
+                repetition_penalty=sp["repetition_penalty"],
+                presence_penalty=sp["presence_penalty"])
             tok = sample(logits, key, sp_full, seen)
             if seen is not None:
                 seen = update_seen_mask(seen, tok)
@@ -211,7 +213,8 @@ class Engine:
                                             uniform_decode=uniform)
             sp_full = dataclasses.replace(
                 sp_static, temperature=sp["temperature"], top_p=sp["top_p"],
-                repetition_penalty=sp["repetition_penalty"])
+                repetition_penalty=sp["repetition_penalty"],
+                presence_penalty=sp["presence_penalty"])
             nxt = sample(logits, key, sp_full, seen)
             if seen is not None:
                 seen = update_seen_mask(seen, nxt)
@@ -294,6 +297,7 @@ class Engine:
             "temperature": jnp.float32(sp.temperature),
             "top_p": jnp.float32(sp.top_p),
             "repetition_penalty": jnp.float32(sp.repetition_penalty),
+            "presence_penalty": jnp.float32(sp.presence_penalty),
         }
         base_key = jax.random.PRNGKey(self.seed if seed is None else seed)
         cache = self.new_cache()

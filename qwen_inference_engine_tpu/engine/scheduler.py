@@ -807,24 +807,6 @@ class ContinuousBatchingEngine:
                 best_page, best_t = page, t
         return best_page, best_t
 
-    def _jit_copy_page_draft(self):
-        """Drafter-pool variant of _jit_copy_page (same page indices)."""
-        key = "copy_page_draft"
-        if key not in self._jit_cache:
-            def fn(cache, src, dst):
-                kp = cache.k_pages.at[:, dst].set(cache.k_pages[:, src])
-                vp = cache.v_pages.at[:, dst].set(cache.v_pages[:, src])
-                upd = dict(k_pages=kp, v_pages=vp)
-                if cache.k_scale is not None:
-                    upd["k_scale"] = cache.k_scale.at[:, dst].set(
-                        cache.k_scale[:, src])
-                    upd["v_scale"] = cache.v_scale.at[:, dst].set(
-                        cache.v_scale[:, src])
-                return dataclasses.replace(cache, **upd)
-
-            self._jit_cache[key] = jax.jit(fn, donate_argnums=(0,))
-        return self._jit_cache[key]
-
     def _jit_copy_page(self):
         """One whole-page KV copy (src page -> dst page, all layers).
         Rows past the partial match are stale, but prefill overwrites any
@@ -969,8 +951,9 @@ class ContinuousBatchingEngine:
             self.cache = self._jit_copy_page()(
                 self.cache, jnp.int32(part_src), jnp.int32(fresh[0]))
             if self._model_draft:
-                # the drafter pool mirrors page indices; keep it in lockstep
-                self.draft_cache = self._jit_copy_page_draft()(
+                # the drafter pool mirrors page indices; keep it in
+                # lockstep (same jitted fn — jax.jit retraces per shape)
+                self.draft_cache = self._jit_copy_page()(
                     self.draft_cache, jnp.int32(part_src),
                     jnp.int32(fresh[0]))
             cached_len += part_t

@@ -82,11 +82,12 @@ def sample(
     logits = logits.astype(jnp.float32)
     if seen_mask is not None:
         logits = apply_repetition_penalty(logits, seen_mask, params.repetition_penalty)
-        if params.presence_penalty:
-            pp = jnp.broadcast_to(
-                jnp.asarray(params.presence_penalty, jnp.float32),
-                logits.shape[:1])
-            logits = logits - jnp.where(seen_mask, pp[:, None], 0.0)
+        # presence_penalty may be a traced scalar: apply unconditionally
+        # (subtracting 0 is free)
+        pp = jnp.broadcast_to(
+            jnp.asarray(params.presence_penalty, jnp.float32),
+            logits.shape[:1])
+        logits = logits - jnp.where(seen_mask, pp[:, None], 0.0)
 
     if params.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -119,6 +119,7 @@ def build_draft_model(args):
     if getattr(args, "draft_ckpt", None):
         dcfg, dparams = load_checkpoint(args.draft_ckpt)
     elif getattr(args, "draft_model", None):
+        import jax
         import jax.numpy as jnp
 
         dcfg = ModelConfig.from_pretrained(args.draft_model)

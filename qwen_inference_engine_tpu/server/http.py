@@ -28,6 +28,26 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
 
+def _earliest_stop(text: str, stop) -> int:
+    """Index of the EARLIEST occurrence of any stop string, or -1."""
+    hits = [text.find(x) for x in stop]
+    hits = [h for h in hits if h >= 0]
+    return min(hits) if hits else -1
+
+
+def _stop_holdback(text: str, stop) -> int:
+    """Longest suffix of ``text`` that is a proper prefix of a stop
+    string — a stream must hold it back in case the next tokens complete
+    the stop sequence."""
+    hold = 0
+    for x in stop:
+        for k in range(min(len(x) - 1, len(text)), 0, -1):
+            if text.endswith(x[:k]):
+                hold = max(hold, k)
+                break
+    return hold
+
+
 class _Waiter:
     def __init__(self):
         self.event = threading.Event()
@@ -193,6 +213,9 @@ def _make_handler(server: Server):
                           "token_ids": f.token_ids,
                           "request_id": f.request_id}
                          if f is not None else {"finish_reason": "timeout"})
+                tail = dec.flush()  # held-back partial code point, if any
+                if tail:
+                    final["text"] = tail
                 self.wfile.write(
                     f"data: {json.dumps(final)}\n\n".encode())
                 self.wfile.flush()
@@ -233,28 +256,32 @@ def _make_handler(server: Server):
             import dataclasses
 
             sp = server.default_sp
-            overrides = {}
-            if "temperature" in req:
-                t = req["temperature"]
-                # OpenAI semantics: temperature 0 means deterministic
-                if t == 0:
-                    overrides["greedy"] = True
-                else:
-                    overrides["temperature"] = float(t)
-            if "top_p" in req:
-                overrides["top_p"] = float(req["top_p"])
-            if "presence_penalty" in req:
-                overrides["presence_penalty"] = float(req["presence_penalty"])
+            try:
+                overrides = {}
+                if "temperature" in req:
+                    t = req["temperature"]
+                    # OpenAI semantics: temperature 0 means deterministic
+                    if t == 0:
+                        overrides["greedy"] = True
+                    else:
+                        overrides["temperature"] = float(t)
+                if "top_p" in req:
+                    overrides["top_p"] = float(req["top_p"])
+                if "presence_penalty" in req:
+                    overrides["presence_penalty"] = float(
+                        req["presence_penalty"])
+                max_new = int(req.get("max_tokens", 16 if not chat else 512))
+                timeout_s = float(req.get("timeout_s", 600))
+            except (TypeError, ValueError) as e:
+                return self._json(400, {"error": f"bad parameter: {e}"})
             if overrides:
                 sp = dataclasses.replace(sp, **overrides)
-            max_new = int(req.get("max_tokens", 16 if not chat else 512))
             stop = req.get("stop") or []
             if isinstance(stop, str):
                 stop = [stop]
             if not (isinstance(stop, list)
                     and all(isinstance(s, str) for s in stop)):
                 return self._json(400, {"error": "stop must be str or [str]"})
-            timeout_s = float(req.get("timeout_s", 600))
             w, rid = server.submit(ids, max_new, sp, timeout_s=timeout_s)
             oid = f"{'chatcmpl' if chat else 'cmpl'}-{rid}"
             if req.get("stream"):
@@ -276,9 +303,11 @@ def _make_handler(server: Server):
                         n_toks += 1
                     except queue.Empty:
                         if time.monotonic() > deadline:
-                            break
+                            server.cancel(rid)
+                            return self._json(
+                                504, {"error": "generation timed out"})
                         continue
-                    if any(s in acc for s in stop):
+                    if _earliest_stop(acc, stop) >= 0:
                         server.cancel(rid)  # pops the waiter: keep acc
                         stopped_early = True
                         break
@@ -296,11 +325,9 @@ def _make_handler(server: Server):
                 finish = {"eos": "stop", "length": "length"}.get(
                     f.finish_reason, f.finish_reason)
                 n_completion = len(f.token_ids)
-            for s in stop:
-                i = text.find(s)
-                if i >= 0:
-                    text, finish = text[:i], "stop"
-                    break
+            i = _earliest_stop(text, stop)
+            if i >= 0:
+                text, finish = text[:i], "stop"
             choice = ({"index": 0, "finish_reason": finish,
                        "message": {"role": "assistant", "content": text}}
                       if chat else
@@ -341,6 +368,18 @@ def _make_handler(server: Server):
 
             try:
                 stopped = False
+                emitted = 0        # chars of acc already sent
+
+                def send(upto):
+                    nonlocal emitted
+                    if upto > emitted:
+                        self.wfile.write(
+                            f"data: "
+                            f"{json.dumps(chunk(acc[emitted:upto]))}\n\n"
+                            .encode())
+                        self.wfile.flush()
+                        emitted = upto
+
                 while not w.event.is_set() or not w.tokens.empty():
                     try:
                         tok = w.tokens.get(timeout=0.1)
@@ -349,22 +388,23 @@ def _make_handler(server: Server):
                             server.cancel(rid)
                             break
                         continue
-                    piece = dec.push(tok)
-                    acc += piece
-                    hit = next((s for s in stop if s in acc), None)
-                    if hit is not None:
+                    acc += dec.push(tok)
+                    i = _earliest_stop(acc, stop)
+                    if i >= 0:
                         # emit up to the stop string, then cancel
-                        keep = acc[: acc.find(hit)]
-                        tail = keep[len(acc) - len(piece):]
-                        if tail:
-                            self.wfile.write(
-                                f"data: {json.dumps(chunk(tail))}\n\n".encode())
+                        send(i)
                         server.cancel(rid)
                         stopped = True
                         break
-                    self.wfile.write(
-                        f"data: {json.dumps(chunk(piece))}\n\n".encode())
-                    self.wfile.flush()
+                    # hold back any suffix that might complete a stop
+                    # string on the next token (never leak stop prefixes)
+                    send(len(acc) - _stop_holdback(acc, stop))
+                if not stopped:
+                    # release held-back text + the decoder's tail
+                    acc += dec.flush()
+                    i = _earliest_stop(acc, stop)
+                    stopped = i >= 0
+                    send(i if stopped else len(acc))
                 f = w.result
                 finish = ("stop" if stopped else
                           {"eos": "stop", "length": "length"}.get(

@@ -91,14 +91,17 @@ class StreamDecoder:
     the next token may complete).
     """
 
+    _WINDOW = 256  # ids re-decoded per push (bounds cost for long streams)
+
     def __init__(self, tok):
         self._tok = tok
         self._ids: List[int] = []
-        self._emitted = 0
+        self._start = 0      # window start (advanced at clean boundaries)
+        self._emitted = 0    # chars of decode(ids[start:]) already emitted
 
     def push(self, token_id: int) -> str:
         self._ids.append(token_id)
-        text = self._tok.decode(self._ids)
+        text = self._tok.decode(self._ids[self._start:])
         # hold back a trailing partial code point; emit it once completed
         # (or at flush). A genuine U+FFFD in the vocab is delayed by one
         # token, never lost.
@@ -107,10 +110,17 @@ class StreamDecoder:
             end -= 1
         delta = text[self._emitted:end]
         self._emitted = end
+        # re-decoding the full history is O(n^2) over a generation; once
+        # everything is emitted (no held-back chars) the boundary is clean
+        # and the window can restart
+        if (len(self._ids) - self._start > self._WINDOW
+                and self._emitted == len(text)):
+            self._start = len(self._ids)
+            self._emitted = 0
         return delta
 
     def flush(self) -> str:
-        text = self._tok.decode(self._ids)
+        text = self._tok.decode(self._ids[self._start:])
         delta = text[self._emitted:]
         self._emitted = len(text)
         return delta

@@ -211,3 +211,44 @@ def test_v1_completions_stop_string_cancels_early(http_server):
     assert probe not in out["choices"][0]["text"]
     # cancelled well before max_tokens
     assert out["usage"]["completion_tokens"] < 48
+
+
+def test_v1_stream_never_leaks_stop_prefix(http_server):
+    """A stop string spanning token boundaries must not leak its prefix
+    into the stream: the streamed text must equal the non-stream result
+    for the same request."""
+    port = http_server
+    # non-stream reference: 6 deterministic tokens, stop on a string that
+    # SPANS two tokens ("<id1> <id2"): tokens decode as "id" pieces joined
+    # by spaces in _IdTokenizer, so take the join of tokens 2-3 minus the
+    # last char as a spanning stop needle
+    r = _post_path(port, "/v1/completions",
+                   {"prompt": [5, 9, 17], "max_tokens": 6, "temperature": 0})
+    full = json.loads(r.read())["choices"][0]["text"]
+    words = full.split(" ")
+    assert len(words) >= 4
+    needle = words[2] + " " + words[3][:max(1, len(words[3]) - 1)]
+    body = {"prompt": [5, 9, 17], "max_tokens": 6, "temperature": 0,
+            "stop": [needle]}
+    nonstream = json.loads(_post_path(port, "/v1/completions", body).read())
+    expect = nonstream["choices"][0]["text"]
+    assert needle not in expect
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/completions",
+                 json.dumps(dict(body, stream=True)),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    buf, events = b"", []
+    while True:
+        c = r.read(1)
+        if not c:
+            break
+        buf += c
+        while b"\n\n" in buf:
+            ev, buf = buf.split(b"\n\n", 1)
+            events.append(ev.decode())
+    payloads = [json.loads(e[6:]) for e in events[:-1]]
+    text = "".join(p["choices"][0]["text"] or "" for p in payloads)
+    assert text == expect, (text, expect)
+    assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
