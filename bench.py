@@ -23,8 +23,10 @@ shape-exact (no checkpoint download on this host); arithmetic is identical
 to real serving.
 
 Env overrides: BENCH_MODEL, BENCH_BATCH, BENCH_STEPS, BENCH_PROMPT,
-BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16), BENCH_SMALL=1 (smoke mode),
-BENCH_ABS=0/1, BENCH_SPEC=0/1.
+BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16/32), BENCH_SMALL=1 (smoke mode),
+BENCH_ABS=0/1, BENCH_SPEC=0/1, BENCH_SPEC_DRAFT=self (adds the
+self-drafting full-acceptance ceiling row), BENCH_MOE=1 (+MOE_LAYERS,
++MOE_BATCH: the 30B-A3B-shaped grouped-kernel row).
 """
 
 import json
