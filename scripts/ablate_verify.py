@@ -14,6 +14,7 @@ chained calls, differenced repetition counts.
 Usage: python scripts/ablate_verify.py [model] [batch] [ctx]
 """
 
+import os
 import sys
 import time
 
@@ -97,21 +98,27 @@ def main():
     tables_d = jnp.asarray(tables)
     sp_rows = cb._sp_dyn_rows()
     rkey = jax.random.PRNGKey(7)
+    active_d = cb._active_mask([s for s in cb._slots if s is not None])
 
     dec = cb._jit_decode()
 
     def plain():
         nonlocal_state["nxt"], cb.cache, cb._seen = dec(
             cb.params, toks_d, pos_d, cb.cache, tables_d, rkey, sp_rows,
-            cb._seen)
+            cb._seen, active_d)
         return nonlocal_state["nxt"]
 
+    # QIE_ABLATE_SMOKE=1: CPU CI signature check — one k, minimal reps
+    smoke = os.environ.get("QIE_ABLATE_SMOKE") == "1"
+    reps = dict(reps_a=1, reps_b=2) if smoke else {}
+    ks = (2,) if smoke else (2, 3, 4, 6)
+
     nonlocal_state = {}
-    t_plain = timed(plain)
+    t_plain = timed(plain, **reps)
     log(f"plain decode tick: {t_plain*1e3:.2f} ms -> "
         f"{batch/t_plain:.0f} tok/s")
 
-    for k in (2, 3, 4, 6):
+    for k in ks:
         cb.spec_k = k
         ver = cb._jit_verify()
         toks_k = jnp.concatenate(
@@ -122,10 +129,10 @@ def main():
         def verify():
             chain, n_new, cb.cache, cb._seen = ver(
                 cb.params, toks_k, pos_d, cb.cache, tables_d, rkey,
-                sp_rows, cb._seen, drafts)
+                sp_rows, cb._seen, drafts, active_d)
             return chain
 
-        t_ver = timed(verify)
+        t_ver = timed(verify, **reps)
         m = batch * (k + 1)
         passes = -(-m // 128) / -(-batch // 128)
         log(f"k={k}: verify {t_ver*1e3:.2f} ms "
