@@ -267,12 +267,21 @@ def run_decode_config(cfg, params, *, batch, steps, prompt_len, bits,
 
 
 def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
-                    period, reps, max_new):
-    """Speculative serving vs plain serving on the SAME repetitive
-    workload (period-token pattern repeated; prompt-lookup drafts hit when
-    the model's continuation echoes the period — the workload class PLD
-    targets: extraction / multi-turn echo). Returns the metric dict with
-    vs_baseline = speedup over the non-speculative scheduler."""
+                    period, reps, max_new, workload="periodic"):
+    """Speculative serving vs plain serving on the SAME workload.
+
+    workload="periodic": every prompt is a period-token pattern repeated
+    (prompt-lookup drafts hit when the model's continuation echoes the
+    period — the best case PLD targets: extraction / multi-turn echo).
+    workload="mixed": only HALF the prompts are periodic; the other half
+    are fresh random tokens the model has no reason to echo, so their
+    drafts must earn acceptance against the model's actual chain. This is
+    the honest serving mix — the speedup is diluted by rows that never
+    accept, and the acceptance-EMA policy has to keep the batch from
+    losing to plain chained decode.
+
+    Returns the metric dict with vs_baseline = speedup over the
+    non-speculative scheduler on the same workload."""
     from qwen_inference_engine_tpu.engine.scheduler import (
         ContinuousBatchingEngine,
         Request,
@@ -281,10 +290,14 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
 
     prompt_len = period * reps
     rng = np.random.default_rng(7)
-    prompts = [
-        (rng.integers(0, cfg.vocab_size, period).tolist()) * reps
-        for _ in range(batch)
-    ]
+    prompts = []
+    for i in range(batch):
+        if workload == "mixed" and i % 2 == 1:
+            prompts.append(
+                rng.integers(0, cfg.vocab_size, prompt_len).tolist())
+        else:
+            prompts.append(
+                (rng.integers(0, cfg.vocab_size, period).tolist()) * reps)
     from qwen_inference_engine_tpu.kvcache.cache import kv_dtype_from_bits
 
     kv_dtype = kv_dtype_from_bits(kv_bits)
@@ -296,7 +309,8 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
     # accept, so this is the honest full-acceptance ceiling of the fused
     # drafter-chain + verify round (the structural M-fill, end to end)
     modes = ["plain", "spec"]
-    if os.environ.get("BENCH_SPEC_DRAFT") == "self":
+    if (os.environ.get("BENCH_SPEC_DRAFT") == "self"
+            and workload == "periodic"):
         modes.append("spec_self")
     results = {}
     for mode in modes:
@@ -310,18 +324,27 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
             draft_params=params if mode == "spec_self" else None,
             draft_cfg=cfg if mode == "spec_self" else None,
         )
+        # WARM WAVE (untimed): the chained decode/verify jits, the
+        # round-stack shapes, and the history-push buckets all compile on
+        # a throwaway copy of the workload — jits are cached per engine,
+        # so the warm wave must run on THIS engine. Measured on the r4
+        # chip: cold wave 95 tok/s, warm waves 618 -> 1016 tok/s.
+        for w in range(2):
+            for rid, p in enumerate(prompts):
+                cb.submit(Request(request_id=10_000 * (w + 1) + rid,
+                                  prompt=p, max_new_tokens=max_new))
+            cb.run_to_completion()
+        # measured wave: admit + prefill outside the timed region (this
+        # is a decode serving metric)
         for rid, p in enumerate(prompts):
             cb.submit(Request(request_id=rid, prompt=p,
                               max_new_tokens=max_new))
-        # admit + prefill + first decode/verify compile outside the timed
-        # region (this is a decode serving metric)
         fins = []
         while cb._pending or any(s is not None and not s.prefill_done
                                  for s in cb._slots):
             fins += cb.step()
         assert all(s is not None for s in cb._slots), \
             "spec-bench requests were rejected (page budget too small)"
-        fins += cb.step()
         n0 = (sum(len(s.generated) for s in cb._slots if s is not None)
               + sum(len(f.token_ids) for f in fins))
         t0 = time.perf_counter()
@@ -355,10 +378,12 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
             f"tok/s ({su:.2f}x plain, {tp2:.2f} tok/forward)")
     return {
         "metric": f"decode_tok_per_s_spec_pld_{cfg.name}_b{batch}"
-                  + ("_kv8" if kv_bits == 8 else ""),
+                  + ("_kv8" if kv_bits == 8 else "")
+                  + ("_mixed" if workload == "mixed" else ""),
         "value": round(results["spec"][0], 2),
         "unit": "tok/s",
         "vs_baseline": round(speedup, 4),
+        "tok_per_forward": round(tpf, 3),
     }
 
 
@@ -414,18 +439,31 @@ def main():
             "(measured regression; see docs/PERF.md)")
         sys.exit(2)
 
-    t0 = time.perf_counter()
-    params = build_params(cfg, bits, gs, q_lmhead)
-    jax.block_until_ready(params)
-    log(f"params ready in {time.perf_counter()-t0:.1f}s; "
-        f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
+    # BENCH_MOE_ONLY=1: iterate on the MoE row without re-running the
+    # dense configs (the row OOMs/retries independently of the headline).
+    # BENCH_SPEC_ONLY=1: params + speculative rows only.
+    moe_only = os.environ.get("BENCH_MOE_ONLY") == "1"
+    spec_only = os.environ.get("BENCH_SPEC_ONLY") == "1"
+    lines = []
+    params = None
+    if spec_only:
+        t0 = time.perf_counter()
+        params = build_params(cfg, bits, gs, q_lmhead)
+        jax.block_until_ready(params)
+        log(f"params ready in {time.perf_counter()-t0:.1f}s")
+    elif not moe_only:
+        t0 = time.perf_counter()
+        params = build_params(cfg, bits, gs, q_lmhead)
+        jax.block_until_ready(params)
+        log(f"params ready in {time.perf_counter()-t0:.1f}s; "
+            f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
 
-    lines = [run_decode_config(
-        cfg, params, batch=batch, steps=steps, prompt_len=prompt_len,
-        bits=bits, kv_bits=kv_bits, warmup=warmup, chunk=chunk,
-        want_pumped=want_pumped)]
+        lines.append(run_decode_config(
+            cfg, params, batch=batch, steps=steps, prompt_len=prompt_len,
+            bits=bits, kv_bits=kv_bits, warmup=warmup, chunk=chunk,
+            want_pumped=want_pumped))
 
-    if want_abs:
+    if want_abs and not moe_only and not spec_only:
         # best ABSOLUTE tok/s point: bigger batch, INT8 KV (docs/PERF.md)
         try:
             lines.append(run_decode_config(
@@ -435,17 +473,23 @@ def main():
         except Exception as e:  # keep the headline even if the extra fails
             log(f"absolute-config bench failed: {e!r}")
 
-    if want_spec:
+    if want_spec and not moe_only:
+        spec_kwargs = dict(
+            batch=int(os.environ.get("BENCH_SPEC_BATCH", "16")),
+            kv_bits=8, spec_k=int(os.environ.get("BENCH_SPEC_K", "4")),
+            page_size=16,
+            period=int(os.environ.get("BENCH_SPEC_PERIOD", "48")),
+            reps=4, max_new=int(os.environ.get("BENCH_SPEC_NEW", "96")))
         try:
-            lines.append(run_spec_config(
-                cfg, params,
-                batch=int(os.environ.get("BENCH_SPEC_BATCH", "16")),
-                kv_bits=8, spec_k=int(os.environ.get("BENCH_SPEC_K", "4")),
-                page_size=16,
-                period=int(os.environ.get("BENCH_SPEC_PERIOD", "48")),
-                reps=4, max_new=int(os.environ.get("BENCH_SPEC_NEW", "96"))))
+            lines.append(run_spec_config(cfg, params, **spec_kwargs))
         except Exception as e:
             log(f"speculative bench failed: {e!r}")
+        try:
+            # the honest mix: half the rows never accept (VERDICT r3 #5)
+            lines.append(run_spec_config(cfg, params, workload="mixed",
+                                         **spec_kwargs))
+        except Exception as e:
+            log(f"mixed speculative bench failed: {e!r}")
 
     if os.environ.get("BENCH_MOE") == "1":
         # Qwen3-30B-A3B-shaped MoE row (VERDICT r2 #2): the full model's
@@ -455,26 +499,38 @@ def main():
         # whole-model numbers scale linearly in L.
         # Runs LAST with the dense params freed first: r4's first hardware
         # attempt OOMed with the 7B weights still resident and the failed
-        # allocation then poisoned the spec row that followed it.
+        # allocation then poisoned the spec row that followed it. Init
+        # peaks at ~2x the INT4 bytes (bf16 intermediates), so on OOM the
+        # row retries at half the layer count — per-layer cost is the
+        # quantity of interest and scales linearly in L.
         del params
         jax.clear_caches()
-        moe_params = None
-        try:
-            moe_layers = int(os.environ.get("BENCH_MOE_LAYERS", "24"))
-            moe_cfg = ModelConfig.from_pretrained("qwen3-30b-a3b").replace(
-                num_layers=moe_layers, name=f"qwen3-30b-a3b-L{moe_layers}")
-            moe_params = build_params(moe_cfg, bits, gs, False)
-            jax.block_until_ready(moe_params)
-            log(f"moe params ready: {tree_bytes(moe_params)/1e9:.2f} GB")
-            lines.append(run_decode_config(
-                moe_cfg, moe_params,
-                batch=int(os.environ.get("BENCH_MOE_BATCH", "32")),
-                steps=max(16, steps // 2), prompt_len=512, bits=bits,
-                kv_bits=8, warmup=warmup, chunk=chunk, want_pumped=False))
-        except Exception as e:
-            log(f"moe bench failed: {e!r}")
-        finally:
-            del moe_params
+        moe_layers = int(os.environ.get("BENCH_MOE_LAYERS", "12"))
+        while moe_layers >= 3:
+            moe_params = None
+            try:
+                moe_cfg = ModelConfig.from_pretrained(
+                    "qwen3-30b-a3b").replace(
+                    num_layers=moe_layers, name=f"qwen3-30b-a3b-L{moe_layers}")
+                moe_params = build_params(moe_cfg, bits, gs, False)
+                jax.block_until_ready(moe_params)
+                log(f"moe params ready ({moe_layers} layers): "
+                    f"{tree_bytes(moe_params)/1e9:.2f} GB")
+                lines.append(run_decode_config(
+                    moe_cfg, moe_params,
+                    batch=int(os.environ.get("BENCH_MOE_BATCH", "32")),
+                    steps=max(16, steps // 2), prompt_len=512, bits=bits,
+                    kv_bits=8, warmup=warmup, chunk=chunk,
+                    want_pumped=False))
+                break
+            except Exception as e:
+                log(f"moe bench failed at {moe_layers} layers: {e!r}")
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    break
+                moe_layers //= 2
+            finally:
+                del moe_params
+                jax.clear_caches()
 
     for line in lines:
         print(json.dumps(line))
