@@ -227,11 +227,23 @@ class ContinuousBatchingEngine:
             assert draft_cfg.vocab_size <= cfg.vocab_size, \
                 "draft vocabulary must not exceed the target's"
             if self._tp_step:
-                import warnings
+                # the drafter runs inside the same shard_map round
+                # (make_tp_spec_model_fn), so it must shard like the
+                # target does; an unshardable drafter downgrades to
+                # prompt-lookup rather than breaking serving
+                from qwen_inference_engine_tpu.parallel.tp_step import (
+                    supports_tp,
+                )
 
-                warnings.warn("draft-model speculation has no shard_map TP "
-                              "path yet; falling back to prompt-lookup")
-                self._model_draft = False
+                tp = dict(mesh.shape).get("model", 1)
+                if not supports_tp(draft_cfg, draft_params, tp):
+                    import warnings
+
+                    warnings.warn(
+                        "draft model does not shard over this TP mesh "
+                        "(head/group alignment); falling back to "
+                        "prompt-lookup speculation")
+                    self._model_draft = False
         self.metrics = Metrics()
 
         cache = PagedKVCache.create(
@@ -448,6 +460,20 @@ class ContinuousBatchingEngine:
             page_size=c.page_size,
         )
 
+    def _draft_cache_template(self) -> PagedKVCache:
+        """Shape/dtype skeleton of the drafter's paged pool."""
+        c = self.draft_cache
+        sds = jax.ShapeDtypeStruct
+        return PagedKVCache(
+            k_pages=sds(c.k_pages.shape, c.k_pages.dtype),
+            v_pages=sds(c.v_pages.shape, c.v_pages.dtype),
+            k_scale=None if c.k_scale is None else
+                sds(c.k_scale.shape, c.k_scale.dtype),
+            v_scale=None if c.v_scale is None else
+                sds(c.v_scale.shape, c.v_scale.dtype),
+            page_size=c.page_size,
+        )
+
     def _jit_decode(self):
         key = ("decode",)
         if key not in self._jit_cache:
@@ -550,32 +576,48 @@ class ContinuousBatchingEngine:
             use_pallas = self.use_pallas
             k = self.spec_k
             k_cap, approx = self.k_cap, self.sampling.approx_top_k
+            tp_spec = None
+            if self._tp_step:
+                from qwen_inference_engine_tpu.parallel.tp_step import (
+                    make_tp_spec_model_fn,
+                )
+
+                tp_spec = make_tp_spec_model_fn(
+                    cfg, dcfg, self.mesh, self.params, self.draft_params,
+                    self._cache_template(), self._draft_cache_template(),
+                    k=k)
 
             def fn(params, dparams, tok_prev, tok_last, pos0, cache, dcache,
                    tables, rkey, sp_dyn, seen, active):
-                def dstep(carry, i):
-                    cur, dcache = carry
-                    tok_in = jnp.where(i == 0, tok_prev,
-                                       jnp.where(i == 1, tok_last, cur))
-                    logits, dcache = decode_step(
-                        dparams, dcfg, tok_in, pos0 - 1 + i, dcache,
-                        block_tables=tables, use_pallas=use_pallas)
-                    cur = jnp.argmax(logits, -1).astype(jnp.int32)
-                    return (cur, dcache), cur
+                if tp_spec is not None:
+                    logits, cache, dcache, drafts = tp_spec(
+                        params, dparams, tok_prev, tok_last, pos0, cache,
+                        dcache, tables)
+                else:
+                    def dstep(carry, i):
+                        cur, dcache = carry
+                        tok_in = jnp.where(i == 0, tok_prev,
+                                           jnp.where(i == 1, tok_last, cur))
+                        logits, dcache = decode_step(
+                            dparams, dcfg, tok_in, pos0 - 1 + i, dcache,
+                            block_tables=tables, use_pallas=use_pallas)
+                        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+                        return (cur, dcache), cur
 
-                (_, dcache), ys = jax.lax.scan(
-                    dstep, (tok_last, dcache),
-                    jnp.arange(k + 1, dtype=jnp.int32))
-                drafts = ys[1:].T                        # [B, k] = d1..dk
+                    (_, dcache), ys = jax.lax.scan(
+                        dstep, (tok_last, dcache),
+                        jnp.arange(k + 1, dtype=jnp.int32))
+                    drafts = ys[1:].T                    # [B, k] = d1..dk
 
-                tokens = jnp.concatenate([tok_last[:, None], drafts], axis=1)
-                positions = pos0[:, None] + jnp.arange(
-                    k + 1, dtype=jnp.int32)[None, :]
-                hidden, cache = forward_hidden(
-                    params, cfg, tokens, positions, cache,
-                    block_tables=tables, fresh_prefill=False,
-                    ragged_multi=True, use_pallas=use_pallas)
-                logits = compute_logits(params, hidden, use_pallas)
+                    tokens = jnp.concatenate([tok_last[:, None], drafts],
+                                             axis=1)
+                    positions = pos0[:, None] + jnp.arange(
+                        k + 1, dtype=jnp.int32)[None, :]
+                    hidden, cache = forward_hidden(
+                        params, cfg, tokens, positions, cache,
+                        block_tables=tables, fresh_prefill=False,
+                        ragged_multi=True, use_pallas=use_pallas)
+                    logits = compute_logits(params, hidden, use_pallas)
                 chain, n_new, seen = _accept_chain(
                     logits, drafts, rkey, sp_dyn, seen, active,
                     k=k, k_cap=k_cap, approx=approx)

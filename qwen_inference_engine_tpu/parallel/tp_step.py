@@ -236,6 +236,83 @@ def make_tp_verify_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
     )
 
 
+def _sharded_argmax(logits_l: jax.Array, axis_name: str) -> jax.Array:
+    """argmax over a vocab axis sharded across ``axis_name``; global ids.
+
+    Tie semantics match single-device argmax (globally lowest index):
+    each shard reports its local (max, argmax+offset); the first shard
+    attaining the global max wins, and within a shard argmax already
+    picks the lowest local index."""
+    v_l = logits_l.shape[-1]
+    off = jax.lax.axis_index(axis_name) * v_l
+    lmax = logits_l.max(-1)
+    larg = jnp.argmax(logits_l, -1).astype(jnp.int32) + off
+    allmax = jax.lax.all_gather(lmax, axis_name)     # [tp, B]
+    allarg = jax.lax.all_gather(larg, axis_name)
+    best = jnp.argmax(allmax, axis=0)                # [B]
+    return jnp.take_along_axis(allarg, best[None, :], axis=0)[0]
+
+
+def make_tp_spec_model_fn(cfg: ModelConfig, dcfg: ModelConfig, mesh: Mesh,
+                          params: dict, dparams: dict, cache, dcache,
+                          *, k: int, use_pallas: bool = True,
+                          attn_impl: str = "auto"):
+    """Fused draft-model speculation round under TP: the drafter's k+1
+    greedy decode steps (lax.scan over the LOCAL drafter shard, cross-
+    shard argmax on its vocab-sharded logits) feed the target's T=k+1
+    verify forward — all inside ONE shard_map dispatch, so draft-model
+    speculation keeps kernel speed under TP exactly like plain decode
+    (closes the scheduler's r3 prompt-lookup fallback, VERDICT r3 #4).
+
+    Returns ``fn(params, dparams, tok_prev, tok_last, pos0, cache,
+    dcache, tables) -> (logits [B,T,V] vocab-sharded, cache, dcache,
+    drafts [B,k])``; chain acceptance runs outside on the sharded logits
+    (engine/scheduler._accept_chain), mirroring make_tp_verify_fn."""
+    tp = mesh.shape[MODEL_AXIS]
+    cfg_l = local_config(cfg, tp)
+    dcfg_l = local_config(dcfg, tp)
+    pspec, cspec = _spec_tree(params, cache, mesh)
+    dpspec, dcspec = _spec_tree(dparams, dcache, mesh)
+    assert mesh.shape.get(DATA_AXIS, 1) == 1, \
+        "paged TP needs a pure-TP mesh (shared page pool)"
+
+    def body(params_l, dparams_l, tok_prev, tok_last, pos0, cache_l,
+             dcache_l, tables_l):
+        def dstep(carry, i):
+            cur, dc = carry
+            tok_in = jnp.where(i == 0, tok_prev,
+                               jnp.where(i == 1, tok_last, cur))
+            logits, dc = decode_step(
+                dparams_l, dcfg_l, tok_in, pos0 - 1 + i, dc,
+                block_tables=tables_l, use_pallas=use_pallas,
+                attn_impl=attn_impl, reduce_axis=MODEL_AXIS)
+            cur = _sharded_argmax(logits, MODEL_AXIS)
+            return (cur, dc), cur
+
+        (_, dcache_l), ys = jax.lax.scan(
+            dstep, (tok_last, dcache_l), jnp.arange(k + 1, dtype=jnp.int32))
+        drafts = ys[1:].T                              # [B, k]
+        tokens = jnp.concatenate([tok_last[:, None], drafts], axis=1)
+        positions = pos0[:, None] + jnp.arange(k + 1,
+                                               dtype=jnp.int32)[None, :]
+        hidden, cache_l = forward_hidden(
+            params_l, cfg_l, tokens, positions, cache_l,
+            block_tables=tables_l, fresh_prefill=False, ragged_multi=True,
+            use_pallas=use_pallas, attn_impl=attn_impl,
+            reduce_axis=MODEL_AXIS)
+        logits = compute_logits(params_l, hidden, use_pallas)
+        return logits, cache_l, dcache_l, drafts
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, dpspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  cspec, dcspec, P(None, None)),
+        out_specs=(P(DATA_AXIS, None, MODEL_AXIS), cspec, dcspec,
+                   P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+
+
 def make_tp_prefill_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
                        *, chunk: int = 512, use_pallas: bool = True,
                        attn_impl: str = "auto"):

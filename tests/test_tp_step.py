@@ -204,7 +204,10 @@ def test_scheduler_speculative_under_tp_matches_single_device(devices8):
         if draft_oracle is not None:
             # oracle drafts (the known greedy continuation): random-weight
             # chains don't self-repeat, so PLD would never fire — this
-            # exercises the TP verify forward at FULL acceptance instead
+            # exercises the TP verify forward at FULL acceptance instead.
+            # Oracle drafts exist only on the host, so run per-round
+            # step() (run_to_completion would take the chained device-PLD
+            # path, which drafts from the device history buffer).
             def draft(run):
                 i = len(run.generated)
                 cont = list(draft_oracle[run.request.request_id][i:i + 3])
@@ -212,7 +215,15 @@ def test_scheduler_speculative_under_tp_matches_single_device(devices8):
             cb._pld_draft_host = draft
         for i, pr in enumerate(prompts):
             cb.submit(Request(request_id=i, prompt=pr, max_new_tokens=8))
-        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        if draft_oracle is not None:
+            out = []
+            while cb.has_work():
+                out += cb.step()
+            out += cb._drain_finished()
+            out = {f.request_id: f.token_ids for f in out}
+        else:
+            out = {f.request_id: f.token_ids
+                   for f in cb.run_to_completion()}
         return out, cb.metrics.snapshot()
 
     ref, _ = run(None, params, False)
@@ -222,6 +233,50 @@ def test_scheduler_speculative_under_tp_matches_single_device(devices8):
     assert snap["spec_rounds"] > 0
     # oracle drafts accept fully: ~4 tokens per verify forward
     assert snap["spec_tokens_per_forward"] > 2.0, snap
+
+
+def test_scheduler_draft_model_spec_under_tp_matches_single_device(devices8):
+    """DRAFT-MODEL speculation under the shard_map TP step
+    (make_tp_spec_model_fn): the drafter chain runs inside the same
+    shard_map round as the verify forward, with cross-shard argmax on the
+    drafter's vocab-sharded logits. Self-drafting (drafter == target)
+    accepts fully, so greedy outputs must be token-identical to the
+    single-device non-speculative scheduler AND acceptance must be
+    ~(k+1) tokens/forward — proving the drafter really drives the chain
+    under TP. Closes the r3 prompt-lookup fallback (scheduler warned and
+    downgraded; VERDICT r3 #4)."""
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_config(num_heads=8, num_kv_heads=8, head_dim=16)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    prompts = [[5, 9, 17, 3] * 3, [40, 41, 42, 43] * 3]
+
+    def run(mesh, p, dp):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=2, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=greedy, kv_dtype=jnp.float32,
+            speculative=dp is not None, spec_k=3,
+            draft_params=dp, draft_cfg=cfg if dp is not None else None)
+        if dp is not None:
+            assert cb._model_draft, "TP draft-model path did not engage"
+        for i, pr in enumerate(prompts):
+            cb.submit(Request(request_id=i, prompt=pr, max_new_tokens=8))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        return out, cb.metrics.snapshot()
+
+    ref, _ = run(None, params, None)
+    mesh = make_mesh((1, 8), devices=devices8)
+    ps = shard_params(params, mesh)
+    got, snap = run(mesh, ps, ps)
+    assert got == ref, (got, ref)
+    assert snap["spec_rounds"] > 0
+    assert snap["spec_tokens_per_forward"] > 3.0, snap
 
 
 def test_scheduler_moe_tp_matches_single_device(devices8):
