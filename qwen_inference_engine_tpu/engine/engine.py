@@ -289,8 +289,12 @@ class Engine:
             tokens = jax.device_put(tokens, NamedSharding(self.mesh, P("data", None)))
             lens_d = jax.device_put(lens_d, self._data_sharding)
 
+        # a per-call SamplingParams requesting a penalty must not be
+        # silently dropped when the engine default is penalty-free
+        # (advisor r3): derive the seen mask from the EFFECTIVE params
         seen = None
-        if self.track_repetition:
+        if (self.track_repetition or sp.repetition_penalty != 1.0
+                or sp.presence_penalty != 0.0):
             seen = seen_mask_from_prompts(tokens, lens_d, self.cfg.vocab_size)
 
         sp_dyn = {

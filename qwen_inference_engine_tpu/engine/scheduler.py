@@ -167,6 +167,7 @@ class ContinuousBatchingEngine:
         spec_ngram: int = 3,
         draft_params: Optional[dict] = None,
         draft_cfg: Optional[ModelConfig] = None,
+        top_k_cap: Optional[int] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -308,13 +309,22 @@ class ContinuousBatchingEngine:
         # top-k selection width of the one compiled decode step; per-row
         # dynamic top_k masks within it (ops/sampling.sample_rows), so a
         # request may use any top_k in [1, k_cap] (or 0 → k_cap) — the
-        # serving cap exposed to the HTTP layer. An engine DEFAULT of
-        # top_k=0 means full-vocab sampling (e.g. top-p only): honor it by
-        # widening the cap to the vocabulary instead of silently
-        # truncating to 64 (the sort cost is the user's explicit choice;
-        # approx_top_k still applies on TPU)
-        self.k_cap = (cfg.vocab_size if self.sampling.top_k == 0
-                      else max(64, self.sampling.top_k))
+        # serving cap exposed to the HTTP layer (requests above it get a
+        # 400). An engine DEFAULT of top_k=0 means full-vocab sampling
+        # (e.g. top-p only): honor it by widening the cap to the
+        # vocabulary instead of silently truncating to 64 (the sort cost
+        # is the user's explicit choice; approx_top_k still applies on
+        # TPU). ``top_k_cap`` (CLI --top-k-cap) sizes the compiled width
+        # independently of the default top_k, so an operator can accept
+        # wide per-request top_k without restarting with a wide default
+        # (advisor r3).
+        if top_k_cap is not None:
+            assert top_k_cap >= max(1, self.sampling.top_k), \
+                "top_k_cap below the default top_k would reject defaults"
+            self.k_cap = min(top_k_cap, cfg.vocab_size)
+        else:
+            self.k_cap = (cfg.vocab_size if self.sampling.top_k == 0
+                          else max(64, self.sampling.top_k))
         # per-slot presence mask of tokens seen (prompt + generated),
         # device-resident: the repetition penalty's input in serving
         self._seen = jnp.zeros((max_slots, cfg.vocab_size), jnp.bool_)

@@ -252,6 +252,10 @@ def main(argv=None) -> int:
                         "speculation (replaces prompt-lookup drafts)")
     s.add_argument("--draft-ckpt", default=None,
                    help="checkpoint dir for the draft model")
+    s.add_argument("--top-k-cap", type=int, default=None,
+                   help="compiled top-k selection width; per-request "
+                        "top_k above it returns 400 (default: "
+                        "max(64, --top-k), or the vocab when --top-k 0)")
     s.set_defaults(fn=cmd_serve)
 
     qz = sub.add_parser("quantize",

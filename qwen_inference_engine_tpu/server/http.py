@@ -80,7 +80,8 @@ class Server:
             spec_k=getattr(args, "spec_k", 4),
             spec_ngram=getattr(args, "spec_ngram", 3),
             draft_params=getattr(args, "_draft_params", None),
-            draft_cfg=getattr(args, "_draft_cfg", None))
+            draft_cfg=getattr(args, "_draft_cfg", None),
+            top_k_cap=getattr(args, "top_k_cap", None))
         self._step_ticks = max(1, getattr(args, "step_ticks", 8))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}

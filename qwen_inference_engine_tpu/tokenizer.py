@@ -112,11 +112,17 @@ class StreamDecoder:
         self._emitted = end
         # re-decoding the full history is O(n^2) over a generation; once
         # everything is emitted (no held-back chars) the boundary is clean
-        # and the window can restart
+        # and the window can restart. Keep a small id OVERLAP across the
+        # restart: SentencePiece-style tokenizers strip/join at sequence
+        # starts, so a zero-context restart could corrupt a leading space
+        # or merge once per window (advisor r3); with the overlap the
+        # next token always decodes with context, and _emitted re-bases
+        # to the overlap's own rendering so deltas stay consistent.
         if (len(self._ids) - self._start > self._WINDOW
                 and self._emitted == len(text)):
-            self._start = len(self._ids)
-            self._emitted = 0
+            keep = 8
+            self._start = max(0, len(self._ids) - keep)
+            self._emitted = len(self._tok.decode(self._ids[self._start:]))
         return delta
 
     def flush(self) -> str:

@@ -835,6 +835,54 @@ def test_pld_chained_slot_reuse_resyncs_history():
     assert got == expect[: len(got)], (got, expect)
 
 
+def test_engine_per_call_penalty_not_dropped():
+    """Engine.generate(sampling=...) with a penalty must apply it even
+    when the engine was built with penalty-free defaults (advisor r3:
+    track_repetition froze at __init__ and silently dropped it). A huge
+    presence penalty under greedy decoding forbids every seen token, so
+    no generated token may repeat the prompt or an earlier output."""
+    prompt = [5, 9, 17, 3]
+    eng = Engine(CFG, PARAMS, max_batch=1, max_seq=128, sampling=GREEDY,
+                 kv_dtype=jnp.float32)
+    sp = SamplingParams(greedy=True, presence_penalty=50.0)
+    res = eng.generate([prompt], max_new_tokens=10, sampling=sp)
+    toks = res.token_ids[0]
+    seen = set(prompt)
+    for t in toks:
+        if t in CFG.eos_token_ids:
+            break
+        assert t not in seen, (t, toks)
+        seen.add(t)
+    # and the penalty-free path still repeats freely (sanity: the two
+    # calls genuinely differ)
+    res0 = eng.generate([prompt], max_new_tokens=10)
+    assert res0.token_ids[0] != toks
+
+
+def test_top_k_cap_widens_compiled_selection():
+    """--top-k-cap sizes the compiled top-k width independently of the
+    default top_k (advisor r3: a server with default top_k=50 rejected
+    any request with top_k in (64, vocab) and had no remedy short of a
+    restart)."""
+    cb = ContinuousBatchingEngine(
+        CFG, PARAMS, max_slots=1, page_size=8, num_pages=32,
+        max_pages_per_seq=8, kv_dtype=jnp.float32,
+        sampling=SamplingParams(temperature=0.8, top_k=50),
+        top_k_cap=256)
+    assert cb.k_cap == 256
+    cb.submit(Request(request_id=0, prompt=[5, 9, 17], max_new_tokens=3,
+                      sampling=SamplingParams(temperature=0.8, top_k=200)))
+    fins = cb.run_to_completion()
+    assert len(fins) == 1 and len(fins[0].token_ids) == 3
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        ContinuousBatchingEngine(
+            CFG, PARAMS, max_slots=1, page_size=8, num_pages=32,
+            max_pages_per_seq=8, kv_dtype=jnp.float32,
+            sampling=SamplingParams(temperature=0.8, top_k=50),
+            top_k_cap=10)
+
+
 def test_per_request_stop_token_ids():
     """A request-supplied stop id terminates generation like EOS (the
     reference hardcodes one EOS; per-request stop sets are serving API

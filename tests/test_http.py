@@ -193,6 +193,24 @@ def test_stream_decoder_multibyte_utf8():
     assert "�" in naive and naive != text
 
 
+def test_stream_decoder_long_stream_window_reset_lossless():
+    """The O(n^2)-bounding window restart (every _WINDOW ids) keeps an id
+    overlap so no text is corrupted at reset boundaries over long streams
+    (advisor r3: zero-context restarts can drop a space/merge for
+    SentencePiece-style tokenizers; the byte tokenizer must stay exact)."""
+    from qwen_inference_engine_tpu.tokenizer import ByteTokenizer, StreamDecoder
+
+    tok = ByteTokenizer()
+    text = ("word aé 世🙂 " * 200)          # ~2000 ids >> _WINDOW=256
+    ids = tok.encode(text)
+    assert len(ids) > 3 * StreamDecoder._WINDOW
+    dec = StreamDecoder(tok)
+    out = "".join(dec.push(i) for i in ids) + dec.flush()
+    assert out == text
+    # the window actually restarted (else this test proves nothing)
+    assert dec._start > 0
+
+
 def test_v1_completions_stop_string_cancels_early(http_server):
     """Non-stream completion with a stop string: generation is cancelled
     as soon as the stop text appears (not run to max_tokens), output is
