@@ -1,0 +1,350 @@
+"""FIFO wave-batched serving over a pipeline-parallel mesh.
+
+Pipeline parallelism splits LAYERS across devices (parallel/pp_step.py),
+so unlike the TP/EP paths it cannot drop into the paged continuous-
+batching scheduler (whose page pool and per-slot admission assume every
+device sees every layer). Serving instead batches requests into WAVES:
+
+* admit up to ``max_batch`` pending requests;
+* prefill them together (make_pp_forward_fn, ragged lengths);
+* decode: GREEDY waves whose prompts align to one length ride the
+  zero-bubble 1F1B microbatched pipeline (make_pp_decode_1f1b — one
+  token completes somewhere every tick in steady state); everything
+  else takes the per-tick pipeline forward with full per-row dynamic
+  sampling (temperature/top-p/top-k/penalties), ticks chained on device
+  with one host sync per ``step_batch`` window;
+* a wave drains fully before the next admits (finished rows idle their
+  lane — FIFO semantics, documented trade vs slot-level continuous
+  batching).
+
+Interface-compatible with server/http.Server's engine contract
+(submit/step_batch/has_work/cancel/k_cap/metrics), so the whole HTTP
+surface — streaming SSE, /v1 endpoints, stops, stats — serves over PP
+unchanged (VERDICT r3 #6; greenfield vs the reference, SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_inference_engine_tpu.config import ModelConfig
+from qwen_inference_engine_tpu.engine.scheduler import (
+    FinishedRequest,
+    Request,
+    _is_stop,
+)
+from qwen_inference_engine_tpu.kvcache.cache import KVCache
+from qwen_inference_engine_tpu.ops.sampling import SamplingParams, sample_rows
+from qwen_inference_engine_tpu.parallel.pp_step import (
+    make_pp_decode_1f1b,
+    make_pp_forward_fn,
+    pp_cache_pspec,
+    shard_for_pp,
+    supports_pp,
+)
+from qwen_inference_engine_tpu.utils.metrics import Metrics
+
+
+class PPFifoScheduler:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        *,
+        mesh,
+        max_batch: int = 8,
+        max_seq: int = 2048,
+        kv_dtype=jnp.bfloat16,
+        sampling: Optional[SamplingParams] = None,
+        seed: int = 1234,
+        use_pallas: bool = False,
+        on_token=None,
+        **_ignored,  # paged-scheduler kwargs the HTTP layer may pass
+    ):
+        stages = dict(mesh.shape)["stage"]
+        assert supports_pp(cfg, params, stages), \
+            (cfg.num_layers, stages, "layers must divide stages")
+        assert max_batch % stages == 0, \
+            "max_batch must divide into one microbatch per stage (1F1B)"
+        self.cfg = cfg
+        self.mesh = mesh
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.kv_dtype = kv_dtype
+        self.sampling = sampling or SamplingParams()
+        self.seed = seed
+        self.use_pallas = use_pallas
+        self.on_token = on_token
+        self.metrics = Metrics()
+        self.k_cap = (cfg.vocab_size if self.sampling.top_k == 0
+                      else max(64, self.sampling.top_k))
+        self._eos = set(cfg.eos_token_ids)
+        cache = KVCache.create(cfg.num_layers, max_batch, max_seq,
+                               cfg.num_kv_heads, cfg.head_dim,
+                               dtype=kv_dtype)
+        self.params, self.cache = shard_for_pp(params, cache, mesh)
+        self._pspec_cache = pp_cache_pspec(cache)
+        self._pending: deque = deque()
+        self._wave: List[Optional[dict]] = []   # per-row state this wave
+        self._finished: List[FinishedRequest] = []
+        self._step_count = 0
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------ API
+    def submit(self, req: Request) -> None:
+        self._pending.append(req)
+
+    def cancel(self, request_id: int) -> bool:
+        for i, r in enumerate(self._pending):
+            if r.request_id == request_id:
+                del self._pending[i]
+                self._finished.append(
+                    FinishedRequest(request_id, [], "cancelled"))
+                return True
+        for row in self._wave:
+            if row is not None and row["req"].request_id == request_id:
+                self._finish_row(row, "cancelled")
+                return True
+        return False
+
+    def has_work(self) -> bool:
+        return bool(self._pending) or any(r is not None for r in self._wave)
+
+    def step(self) -> List[FinishedRequest]:
+        return self.step_batch(1)
+
+    def run_to_completion(self, sync_every: int = 8) -> List[FinishedRequest]:
+        out: List[FinishedRequest] = []
+        while self.has_work():
+            out.extend(self.step_batch(sync_every))
+        out.extend(self._drain())
+        return out
+
+    # ------------------------------------------------------ internals
+    def _drain(self) -> List[FinishedRequest]:
+        out, self._finished = self._finished, []
+        return out
+
+    def _finish_row(self, row: dict, reason: str) -> None:
+        self._finished.append(
+            FinishedRequest(row["req"].request_id, row["gen"], reason))
+        self._wave[row["slot"]] = None
+
+    def _jit_prefill(self, T: int):
+        key = ("pp_prefill", T)
+        if key not in self._jit_cache:
+            fwd = make_pp_forward_fn(self.cfg, self.mesh, self.params,
+                                     self._cache_tpl(),
+                                     use_pallas=self.use_pallas)
+            k_cap = self.k_cap
+
+            def fn(params, tokens, lens, cache, rkey, sp_dyn, seen):
+                logits, cache = fwd(params, tokens,
+                                    jnp.broadcast_to(
+                                        jnp.arange(T, dtype=jnp.int32)[None],
+                                        tokens.shape),
+                                    lens, cache)
+                tok = sample_rows(logits, rkey, k_cap=k_cap,
+                                  approx_top_k=False, seen_mask=seen,
+                                  **sp_dyn)
+                seen = seen.at[jnp.arange(tok.shape[0]), tok].set(True)
+                return tok, cache, seen
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 6))
+        return self._jit_cache[key]
+
+    def _jit_decode_tick(self):
+        key = ("pp_decode",)
+        if key not in self._jit_cache:
+            fwd = make_pp_forward_fn(self.cfg, self.mesh, self.params,
+                                     self._cache_tpl(),
+                                     use_pallas=self.use_pallas)
+            k_cap = self.k_cap
+            B = self.max_batch
+
+            def fn(params, tok, pos, cache, rkey, sp_dyn, seen):
+                logits, cache = fwd(params, tok[:, None], pos[:, None],
+                                    jnp.ones((B,), jnp.int32), cache)
+                nxt = sample_rows(logits, rkey, k_cap=k_cap,
+                                  approx_top_k=False, seen_mask=seen,
+                                  **sp_dyn)
+                seen = seen.at[jnp.arange(B), nxt].set(True)
+                return nxt, cache, seen
+
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 6))
+        return self._jit_cache[key]
+
+    def _jit_1f1b(self, steps: int):
+        key = ("pp_1f1b", steps)
+        if key not in self._jit_cache:
+            stages = dict(self.mesh.shape)["stage"]
+            self._jit_cache[key] = jax.jit(make_pp_decode_1f1b(
+                self.cfg, self.mesh, self.params, self._cache_tpl(),
+                microbatch_rows=self.max_batch // stages, steps=steps,
+                use_pallas=self.use_pallas))
+        return self._jit_cache[key]
+
+    def _cache_tpl(self):
+        sds = jax.ShapeDtypeStruct
+        c = self.cache
+        return KVCache(
+            k=sds(c.k.shape, c.k.dtype), v=sds(c.v.shape, c.v.dtype),
+            k_scale=None if c.k_scale is None else
+                sds(c.k_scale.shape, c.k_scale.dtype),
+            v_scale=None if c.v_scale is None else
+                sds(c.v_scale.shape, c.v_scale.dtype))
+
+    def _sp_rows(self, rows):
+        import numpy as _np
+
+        B = self.max_batch
+        t = _np.full((B,), self.sampling.temperature, _np.float32)
+        p = _np.full((B,), self.sampling.top_p, _np.float32)
+        r = _np.full((B,), self.sampling.repetition_penalty, _np.float32)
+        pp = _np.full((B,), self.sampling.presence_penalty, _np.float32)
+        k = _np.full((B,), self.sampling.top_k, _np.int32)
+        g = _np.full((B,), self.sampling.greedy, bool)
+        for row in rows:
+            if row is not None and row["req"].sampling is not None:
+                sp = row["req"].sampling
+                i = row["slot"]
+                t[i], p[i], r[i] = sp.temperature, sp.top_p, \
+                    sp.repetition_penalty
+                pp[i], k[i], g[i] = sp.presence_penalty, sp.top_k, sp.greedy
+        return {"temperature": jnp.asarray(t), "top_p": jnp.asarray(p),
+                "repetition_penalty": jnp.asarray(r),
+                "presence_penalty": jnp.asarray(pp),
+                "top_k": jnp.asarray(k), "greedy": jnp.asarray(g)}
+
+    def _admit_wave(self) -> None:
+        take = []
+        while self._pending and len(take) < self.max_batch:
+            req = self._pending.popleft()
+            if len(req.prompt) + req.max_new_tokens > self.max_seq:
+                self._finished.append(
+                    FinishedRequest(req.request_id, [], "rejected"))
+                continue
+            take.append(req)
+        if not take:
+            return
+        B = self.max_batch
+        T = max(len(r.prompt) for r in take)
+        T = max(8, -(-T // 8) * 8)
+        tokens = np.zeros((B, T), np.int32)
+        lens = np.ones((B,), np.int32)
+        seen = np.zeros((B, self.cfg.vocab_size), bool)
+        self._wave = [None] * B
+        for i, req in enumerate(take):
+            tokens[i, :len(req.prompt)] = req.prompt
+            lens[i] = len(req.prompt)
+            seen[i, np.asarray(req.prompt, np.int64)] = True
+            self._wave[i] = {"req": req, "slot": i, "gen": [],
+                             "pos": len(req.prompt), "last": 0}
+        self._seen = jnp.asarray(seen)
+        sp_rows = self._sp_rows(self._wave)
+        rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                  self._step_count)
+        self._step_count += 1
+        t0 = time.perf_counter()
+        pre = self._jit_prefill(T)
+        tok, self.cache, self._seen = pre(
+            self.params, jnp.asarray(tokens), jnp.asarray(lens), self.cache,
+            rkey, sp_rows, self._seen)
+        tok_np = np.asarray(tok)
+        self.metrics.observe_ttft(time.perf_counter() - t0)
+        self.metrics.observe_prefill(int(lens.sum()))
+        self._sp_rows_d = sp_rows
+        for row in list(self._wave):
+            if row is None:
+                continue
+            self._emit(row, int(tok_np[row["slot"]]))
+
+    def _emit(self, row: dict, tok: int) -> bool:
+        """Deliver one token to a live row; True if the row finished."""
+        row["gen"].append(tok)
+        # pos = tokens whose KV is WRITTEN = prompt + generated-but-last
+        # (the newest token is ingested by the NEXT tick, at this pos)
+        row["pos"] = len(row["req"].prompt) + len(row["gen"]) - 1
+        row["last"] = tok
+        if self.on_token is not None:
+            self.on_token(row["req"].request_id, tok)
+
+        class _S:  # _is_stop reads .request off a running-like object
+            request = row["req"]
+            generated = row["gen"]
+
+        if _is_stop(tok, self._eos, _S):
+            self._finish_row(row, "eos")
+            return True
+        if len(row["gen"]) >= row["req"].max_new_tokens:
+            self._finish_row(row, "length")
+            return True
+        return False
+
+    def step_batch(self, n: int = 8) -> List[FinishedRequest]:
+        live = [r for r in self._wave if r is not None]
+        if not live:
+            self._admit_wave()
+            return self._drain()
+        n = max(1, min(n,
+                       min(r["req"].max_new_tokens - len(r["gen"])
+                           for r in live),
+                       self.max_seq - 1 - max(r["pos"] for r in live)))
+        sp = self._sp_rows_d
+        # the 1F1B fast path is plain argmax: penalties change greedy
+        # token choice, so penalty rows must take the sampled tick path
+        greedy_aligned = (
+            bool(np.all(np.asarray(sp["greedy"])))
+            and bool(np.all(np.asarray(sp["repetition_penalty"]) == 1.0))
+            and bool(np.all(np.asarray(sp["presence_penalty"]) == 0.0))
+            and len({r["pos"] for r in live}) == 1
+            and len(live) == self.max_batch)
+        t0 = time.perf_counter()
+        if greedy_aligned:
+            stages = dict(self.mesh.shape)["stage"]
+            b = self.max_batch // stages
+            toks = np.zeros((self.max_batch,), np.int32)
+            for r in live:
+                toks[r["slot"]] = r["last"]
+            pos0 = np.full((stages,), live[0]["pos"], np.int32)
+            fn = self._jit_1f1b(n)
+            ys, self.cache = fn(self.params,
+                                jnp.asarray(toks.reshape(stages, b)),
+                                jnp.asarray(pos0), self.cache)
+            mat = np.asarray(ys).reshape(n, self.max_batch)
+            self._step_count += n
+        else:
+            dec = self._jit_decode_tick()
+            toks = np.zeros((self.max_batch,), np.int32)
+            pos = np.zeros((self.max_batch,), np.int32)
+            for r in live:
+                toks[r["slot"]] = r["last"]
+                pos[r["slot"]] = r["pos"]
+            tok_d = jnp.asarray(toks)
+            pos_d = jnp.asarray(pos)
+            cols = []
+            for i in range(n):
+                rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                          self._step_count)
+                self._step_count += 1
+                tok_d, self.cache, self._seen = dec(
+                    self.params, tok_d, pos_d + i, self.cache, rkey, sp,
+                    self._seen)
+                cols.append(tok_d)
+            mat = np.asarray(jnp.stack(cols, 0))   # one sync for n ticks
+        kept = 0
+        for r in live:
+            for i in range(n):
+                if self._wave[r["slot"]] is not r:
+                    break
+                kept += 1
+                if self._emit(r, int(mat[i, r["slot"]])):
+                    break
+        self.metrics.observe_decode(kept, time.perf_counter() - t0)
+        return self._drain()

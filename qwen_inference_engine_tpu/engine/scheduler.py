@@ -189,15 +189,43 @@ class ContinuousBatchingEngine:
         # The page pool is a shared resource, so the paged TP path needs a
         # pure-TP mesh (data axis 1).
         self._tp_step = False
+        self._ep_step = False
         if mesh is not None and getattr(mesh, "size", 1) > 1:
+            from qwen_inference_engine_tpu.parallel.ep_step import (
+                is_ep_mesh,
+                supports_ep,
+            )
             from qwen_inference_engine_tpu.parallel.tp_step import supports_tp
 
-            tp = dict(mesh.shape).get("model", 1)
-            if (tp > 1 and dict(mesh.shape).get("data", 1) == 1
-                    and supports_tp(cfg, params, tp)):
-                self._tp_step = True
+            if is_ep_mesh(mesh):
+                # expert-parallel serving mesh (MoE presets): slots
+                # sharded over the ep axis, experts sharded, pool
+                # replicated-divergent (parallel/ep_step.py)
+                if supports_ep(cfg, mesh, max_slots):
+                    self._ep_step = True
+                    if prefix_cache:
+                        import warnings
+
+                        warnings.warn(
+                            "prefix cache disabled under the EP mesh: a "
+                            "shard only holds KV for its own slots, so "
+                            "pages cannot be shared across shards")
+                        prefix_cache = False
+                    if speculative:
+                        import warnings
+
+                        warnings.warn("speculative decoding has no EP "
+                                      "verify path yet; disabled")
+                        speculative = False
+                else:
+                    use_pallas = False
             else:
-                use_pallas = False
+                tp = dict(mesh.shape).get("model", 1)
+                if (tp > 1 and dict(mesh.shape).get("data", 1) == 1
+                        and supports_tp(cfg, params, tp)):
+                    self._tp_step = True
+                else:
+                    use_pallas = False
         self.use_pallas = use_pallas
         # prompt-lookup speculative decoding inside the tick: the host
         # drafts spec_k tokens per slot from the slot's own history, ONE
@@ -251,7 +279,16 @@ class ContinuousBatchingEngine:
             cfg.num_layers, num_pages, page_size,
             cfg.num_kv_heads, cfg.head_dim, dtype=kv_dtype,
         )
-        self.cache = make_sharded_cache(cache, mesh)
+        if self._ep_step:
+            # replicated structure, per-shard divergent content
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            self.cache = jax.tree.map(
+                lambda leaf: None if leaf is None else jax.device_put(
+                    leaf, NamedSharding(mesh, _P())),
+                cache, is_leaf=lambda x: x is None)
+        else:
+            self.cache = make_sharded_cache(cache, mesh)
         if self._model_draft:
             dcache = PagedKVCache.create(
                 draft_cfg.num_layers, num_pages, page_size,
@@ -406,11 +443,29 @@ class ContinuousBatchingEngine:
                 tp_piece = make_tp_prefill_piece_fn(
                     cfg, self.mesh, self.params, self._cache_template(),
                     T=T, first=first, last=last)
+            ep_piece = None
+            if self._ep_step:
+                from qwen_inference_engine_tpu.parallel.ep_step import (
+                    make_ep_prefill_piece_fn,
+                )
+
+                ep = dict(self.mesh.shape).get("ep", 1)
+                ep_piece = make_ep_prefill_piece_fn(
+                    cfg, self.mesh, self.params, self._cache_template(),
+                    T=T, first=first, last=last,
+                    slots_per_shard=self.max_slots // ep,
+                    use_pallas=use_pallas)
 
             def fn(params, tokens, start, nvalid, cache, tables, rkey, sp_dyn,
                    seen, slot):
                 if tp_piece is not None:
                     out = tp_piece(params, tokens, start, nvalid, cache, tables)
+                    if not last:
+                        return None, out, seen
+                    logits, cache = out
+                elif ep_piece is not None:
+                    out = ep_piece(params, tokens, start, nvalid, cache,
+                                   tables, slot)
                     if not last:
                         return None, out, seen
                     logits, cache = out
@@ -497,11 +552,22 @@ class ContinuousBatchingEngine:
 
                 tp_dec = make_tp_decode_fn(cfg, self.mesh, self.params,
                                            self._cache_template(), paged=True)
+            ep_dec = None
+            if self._ep_step:
+                from qwen_inference_engine_tpu.parallel.ep_step import (
+                    make_ep_decode_fn,
+                )
+
+                ep_dec = make_ep_decode_fn(cfg, self.mesh, self.params,
+                                           self._cache_template(),
+                                           use_pallas=use_pallas)
 
             def fn(params, tok, pos, cache, tables, rkey, sp_dyn, seen,
                    active):
                 if tp_dec is not None:
                     logits, cache = tp_dec(params, tok, pos, cache, tables)
+                elif ep_dec is not None:
+                    logits, cache = ep_dec(params, tok, pos, cache, tables)
                 else:
                     logits, cache = decode_step(params, cfg, tok, pos, cache,
                                                 block_tables=tables,

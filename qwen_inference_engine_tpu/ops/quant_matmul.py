@@ -245,6 +245,11 @@ def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool,
     """
     best = 0
     temp_rows = gs if gs else weight_rows
+    # the footprint model is calibrated (months of runs) at bm <= 128;
+    # at larger M blocks Mosaic's unmodeled stack slack grows with bm and
+    # a bm=240 lm-head verify compile measured 16.18M against the 16M
+    # scoped limit with the est at 13.6M — shave the budget accordingly
+    budget = _VMEM_BUDGET if bm <= 128 else _VMEM_BUDGET - 2 * 1024 * 1024
     for d in range(1, n // 128 + 1):
         bn = 128 * d
         if n % bn:
@@ -255,7 +260,7 @@ def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool,
                 + 16 * bn                     # scale slab (f32, 2-buffered)
                 + bm * bn * 4                 # f32 acc scratch
                 + bm * bn * 2 * 2)            # out bf16, double-buffered
-        if vmem <= _VMEM_BUDGET and bn > best:
+        if vmem <= budget and bn > best:
             best = bn
     return best
 

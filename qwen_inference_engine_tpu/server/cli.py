@@ -33,6 +33,14 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size (0 = all devices)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel size")
+    p.add_argument("--ep", type=int, default=0,
+                   help="expert-parallel size for MoE models (slots and "
+                        "experts sharded over an ('ep',) mesh; overrides "
+                        "--tp/--dp)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel stages (layer-sharded weights/"
+                        "KV, FIFO wave serving with a 1F1B greedy fast "
+                        "path; overrides --tp/--dp/--ep)")
     p.add_argument("--f32", action="store_true",
                    help="f32 weights for the tiny smoke model (CPU runs)")
     p.add_argument("--seed", type=int, default=1234)
@@ -95,6 +103,27 @@ def build_model(args):
 
     mesh = None
     n_dev = len(jax.devices())
+    pp = getattr(args, "pp", 0)
+    if pp and pp > 1:
+        # pipeline-parallel serving mesh: raw params returned — the PP
+        # wave scheduler layer-shards weights/KV itself (shard_for_pp)
+        from qwen_inference_engine_tpu.parallel.pp_step import make_pp_mesh
+
+        return cfg, params, tok, make_pp_mesh(pp)
+    ep = getattr(args, "ep", 0)
+    if ep and ep > 1:
+        # expert-parallel serving mesh for MoE presets (parallel/ep_step)
+        from qwen_inference_engine_tpu.parallel.ep_step import (
+            make_ep_mesh,
+            shard_for_ep,
+        )
+
+        if not cfg.is_moe:
+            print("--ep requires a MoE model; ignoring", file=sys.stderr)
+        else:
+            mesh = make_ep_mesh(ep)
+            params = shard_for_ep(params, mesh)
+            return cfg, params, tok, mesh
     tp = args.tp or (n_dev // args.dp)
     if tp * args.dp > 1:
         mesh = make_mesh((args.dp, tp))

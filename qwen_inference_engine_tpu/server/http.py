@@ -68,20 +68,35 @@ class Server:
         self.default_sp = SamplingParams(
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty, greedy=args.greedy)
-        self.engine = ContinuousBatchingEngine(
-            cfg, params, mesh=mesh, on_token=self._on_token,
-            max_slots=args.max_slots, page_size=args.page_size,
-            num_pages=args.num_pages,
-            max_pages_per_seq=max(4, args.max_seq // args.page_size),
-            kv_dtype=kv_dtype_from_bits(args.kv_bits),
-            sampling=self.default_sp, seed=args.seed,
-            prefix_cache=not getattr(args, "no_prefix_cache", False),
-            speculative=getattr(args, "speculative", False),
-            spec_k=getattr(args, "spec_k", 4),
-            spec_ngram=getattr(args, "spec_ngram", 3),
-            draft_params=getattr(args, "_draft_params", None),
-            draft_cfg=getattr(args, "_draft_cfg", None),
-            top_k_cap=getattr(args, "top_k_cap", None))
+        if mesh is not None and "stage" in dict(getattr(mesh, "shape", {})):
+            # pipeline-parallel mesh: FIFO wave scheduler (layer-sharded
+            # weights/KV; the paged slot scheduler assumes every device
+            # sees every layer) — same engine contract, whole HTTP
+            # surface unchanged (engine/pp_scheduler.py)
+            from qwen_inference_engine_tpu.engine.pp_scheduler import (
+                PPFifoScheduler,
+            )
+
+            self.engine = PPFifoScheduler(
+                cfg, params, mesh=mesh, on_token=self._on_token,
+                max_batch=args.max_slots, max_seq=args.max_seq,
+                kv_dtype=kv_dtype_from_bits(args.kv_bits),
+                sampling=self.default_sp, seed=args.seed)
+        else:
+            self.engine = ContinuousBatchingEngine(
+                cfg, params, mesh=mesh, on_token=self._on_token,
+                max_slots=args.max_slots, page_size=args.page_size,
+                num_pages=args.num_pages,
+                max_pages_per_seq=max(4, args.max_seq // args.page_size),
+                kv_dtype=kv_dtype_from_bits(args.kv_bits),
+                sampling=self.default_sp, seed=args.seed,
+                prefix_cache=not getattr(args, "no_prefix_cache", False),
+                speculative=getattr(args, "speculative", False),
+                spec_k=getattr(args, "spec_k", 4),
+                spec_ngram=getattr(args, "spec_ngram", 3),
+                draft_params=getattr(args, "_draft_params", None),
+                draft_cfg=getattr(args, "_draft_cfg", None),
+                top_k_cap=getattr(args, "top_k_cap", None))
         self._step_ticks = max(1, getattr(args, "step_ticks", 8))
         self._lock = threading.Lock()
         self._waiters: Dict[int, _Waiter] = {}

@@ -74,6 +74,9 @@ def main():
         sampling=SamplingParams(greedy=True),
         kv_dtype=jnp.int8 if jax.default_backend() == "tpu" else jnp.float32,
         prefix_cache=False, speculative=True, spec_k=4)
+    # random weights can argmax onto EOS for some prompt, finishing a slot
+    # mid-prefill and breaking the fixed-batch measurement: disable stops
+    cb._eos = set()
     rng = np.random.default_rng(0)
     for rid in range(batch):
         cb.submit(Request(

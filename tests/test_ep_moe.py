@@ -239,3 +239,50 @@ def test_full_forward_dp_ep_matches_single_device():
         np.testing.assert_allclose(np.asarray(logits), np.asarray(ref[s + 1]),
                                    rtol=2e-4, atol=2e-4, err_msg=f"step {s}")
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+
+def test_scheduler_ep_serving_matches_single_device():
+    """Continuous-batching SERVING on an expert-parallel mesh
+    (parallel/ep_step.py): slots sharded over the ep axis, experts
+    sharded, paged pool replicated-divergent. Greedy outputs must be
+    token-identical to the single-device scheduler (VERDICT r3 #6 —
+    the EP serving surface)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    prompts = {0: [5, 9, 17, 3], 1: list(range(30, 44)), 2: [7, 8, 9],
+               3: [100, 200, 300, 400, 250]}
+
+    def run(mesh, p):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=4, page_size=8, num_pages=64,
+            max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+            prefix_cache=False)
+        if mesh is not None:
+            assert cb._ep_step, "EP serving path did not engage"
+        for rid, pr in prompts.items():
+            cb.submit(Request(request_id=rid, prompt=pr, max_new_tokens=6))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        cb.check_page_invariants()
+        return out
+
+    ref = run(None, params)
+    mesh = make_ep_mesh(ep)
+    got = run(mesh, shard_for_ep(params, mesh))
+    assert got == ref, (got, ref)

@@ -270,3 +270,76 @@ def test_v1_stream_never_leaks_stop_prefix(http_server):
     text = "".join(p["choices"][0]["text"] or "" for p in payloads)
     assert text == expect, (text, expect)
     assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_http_serving_on_ep_mesh():
+    """An HTTP request served end-to-end with the scheduler on an
+    expert-parallel mesh (VERDICT r3 #6: the EP serving surface)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    mesh = make_ep_mesh(ep)
+    params = shard_for_ep(params, mesh)
+    args = types.SimpleNamespace(
+        temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+        greedy=True, max_slots=4, page_size=8, num_pages=64, max_seq=64,
+        kv_bits=32, seed=0, no_prefix_cache=True)
+    server = Server(cfg, params, _IdTokenizer(), mesh, args)
+    assert server.engine._ep_step
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        r = _post(port, {"prompt": [5, 9, 17], "max_new_tokens": 5},
+                  timeout=300)
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert 1 <= len(out["token_ids"]) <= 5
+        assert out["finish_reason"] in ("eos", "length")
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_http_serving_on_pp_mesh():
+    """An HTTP request served end-to-end with the FIFO wave scheduler on
+    a pipeline-parallel mesh (VERDICT r3 #6: the PP serving surface)."""
+    stages = 4
+    if len(jax.devices()) < stages:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.parallel.pp_step import make_pp_mesh
+
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    mesh = make_pp_mesh(stages)
+    args = types.SimpleNamespace(
+        temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+        greedy=True, max_slots=4, page_size=8, num_pages=64, max_seq=64,
+        kv_bits=32, seed=0)
+    server = Server(cfg, params, _IdTokenizer(), mesh, args)
+    from qwen_inference_engine_tpu.engine.pp_scheduler import PPFifoScheduler
+
+    assert isinstance(server.engine, PPFifoScheduler)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        r = _post(port, {"prompt": [5, 9, 17], "max_new_tokens": 5},
+                  timeout=300)
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert 1 <= len(out["token_ids"]) <= 5
+        assert out["finish_reason"] in ("eos", "length")
+    finally:
+        httpd.shutdown()
+        server.shutdown()

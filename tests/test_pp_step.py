@@ -196,3 +196,44 @@ def test_pp_1f1b_decode_int8_kv(devices8):
                        jnp.full((M,), T, jnp.int32), cache_s)
     got = np.asarray(toks).reshape(steps, M * b)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pp_fifo_scheduler_serves_waves(devices8):
+    """The PP serving surface (engine/pp_scheduler.PPFifoScheduler):
+    greedy outputs over a 4-stage pipeline mesh must be token-identical
+    to the single-device paged scheduler. Covers BOTH decode paths —
+    aligned full-batch greedy waves ride the 1F1B pipeline, ragged waves
+    take the per-tick sampled pipeline forward (VERDICT r3 #6)."""
+    from qwen_inference_engine_tpu.engine.pp_scheduler import PPFifoScheduler
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    # wave A: 4 ALIGNED prompts (1F1B path); wave B: ragged (tick path)
+    aligned = {i: [10 + i, 20 + i, 30 + i, 40 + i] for i in range(4)}
+    ragged = {10: [5, 9, 17], 11: list(range(50, 60))}
+
+    ref_cb = ContinuousBatchingEngine(
+        cfg, params, max_slots=4, page_size=8, num_pages=64,
+        max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+        prefix_cache=False)
+    for rid, p in {**aligned, **ragged}.items():
+        ref_cb.submit(Request(request_id=rid, prompt=p, max_new_tokens=6))
+    ref = {f.request_id: f.token_ids for f in ref_cb.run_to_completion()}
+
+    mesh = make_pp_mesh(devices=devices8[:4])
+    pp = PPFifoScheduler(cfg, params, mesh=mesh, max_batch=4, max_seq=64,
+                         kv_dtype=jnp.float32, sampling=greedy)
+    for rid, p in aligned.items():
+        pp.submit(Request(request_id=rid, prompt=p, max_new_tokens=6))
+    got = {f.request_id: f.token_ids for f in pp.run_to_completion()}
+    # second wave on the same scheduler instance (cache reuse across waves)
+    for rid, p in ragged.items():
+        pp.submit(Request(request_id=rid, prompt=p, max_new_tokens=6))
+    got.update({f.request_id: f.token_ids for f in pp.run_to_completion()})
+    assert got == ref, (got, ref)
