@@ -66,17 +66,26 @@ def main():
     jax.block_until_ready(params)
 
     page = 16
-    max_new = 64
+    # earlier-admitted slots DECODE one token per tick while later slots
+    # prefill (continuous batching!): budget max_new past the admission
+    # phase (~batch ticks at whole-prompt chunks) so no slot finishes by
+    # length and frees itself before the measurement starts
+    max_new = batch + 80
     pages_per_seq = -(-(ctx + max_new + 8) // page)
     cb = ContinuousBatchingEngine(
         cfg, params, max_slots=batch, page_size=page,
         num_pages=batch * pages_per_seq + 8, max_pages_per_seq=pages_per_seq,
         sampling=SamplingParams(greedy=True),
         kv_dtype=jnp.int8 if jax.default_backend() == "tpu" else jnp.float32,
-        prefix_cache=False, speculative=True, spec_k=4)
+        prefix_cache=False, speculative=True, spec_k=4,
+        prefill_chunk=ctx)  # one tick per admission
     # random weights can argmax onto EOS for some prompt, finishing a slot
     # mid-prefill and breaking the fixed-batch measurement: disable stops
     cb._eos = set()
+    # plain ticks during admission (spec rounds would emit up to k+1
+    # tokens per tick and blow the per-slot page budget); re-enabled for
+    # the measured fns below
+    cb.speculative = False
     rng = np.random.default_rng(0)
     for rid in range(batch):
         cb.submit(Request(
@@ -88,6 +97,7 @@ def main():
                              for s in cb._slots):
         cb.step()
     assert all(s is not None for s in cb._slots), "requests were rejected"
+    cb.speculative = True
     log(f"prefill+admit: {time.perf_counter() - t0:.1f}s")
 
     # state snapshots for repeatable calls

@@ -6,7 +6,12 @@ admissions (the head-of-line metric — chunked prefill must keep running
 decodes from stalling for a whole prompt), and aggregate decode tok/s.
 The BASELINE.md "also tracked" serving metric.
 
-Usage: python scripts/load_test.py [model] [n_requests] [prompt_len] [step_ticks]
+Usage: python scripts/load_test.py [model] [n_requests] [prompt_len]
+       [step_ticks] [mode]
+
+mode: plain (default) | spec (prompt-lookup, device-chained) |
+      spec-self (draft model == target: the full-acceptance ceiling of
+      the chained drafter+verify round under mixed load)
 
 step_ticks > 1 drives the serving loop through engine.step_batch (the
 HTTP server's default: decode ticks chained on device, one host sync per
@@ -40,6 +45,7 @@ def main():
     n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     plen = int(sys.argv[3]) if len(sys.argv) > 3 else 384
     step_ticks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
     max_new = 48
 
     if model == "tiny":
@@ -61,7 +67,10 @@ def main():
                   else jnp.bfloat16),
         num_pages=max(512, 8 * (plen + max_new) // 16 + 64),
         max_pages_per_seq=(plen + max_new) // 16 + 2,
-        sampling=SamplingParams(temperature=0.7, top_k=50), seed=0)
+        sampling=SamplingParams(temperature=0.7, top_k=50), seed=0,
+        speculative=mode.startswith("spec"), spec_k=4,
+        draft_params=params if mode == "spec-self" else None,
+        draft_cfg=cfg if mode == "spec-self" else None)
 
     rng = np.random.default_rng(0)
     prompts = [rng.integers(1, cfg.vocab_size, size=plen).tolist()
@@ -121,7 +130,7 @@ def main():
         return xs[min(int(q * len(xs)), len(xs) - 1)] if xs else 0.0
 
     print(f"model={cfg.name} requests={n_req} prompt={plen} "
-          f"max_new={max_new} slots=8")
+          f"max_new={max_new} slots=8 mode={mode}")
     print(f"TTFT p50={pct(ttfts, 0.5)*1e3:.0f} ms  "
           f"p99={pct(ttfts, 0.99)*1e3:.0f} ms")
     print(f"inter-tick p50={pct(itls, 0.5)*1e3:.1f} ms  "
