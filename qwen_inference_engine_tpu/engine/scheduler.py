@@ -152,7 +152,13 @@ class ContinuousBatchingEngine:
         *,
         mesh=None,
         max_slots: int = 8,
-        page_size: int = 16,
+        # 128-token pages: the paged-attention grid is (B, pages/seq), so
+        # page size sets the per-layer cell count — measured on the r4
+        # chip at b96xS1500: 266.7 ms/tick at page 16 (vLLM's CUDA-ism),
+        # 44.4 at 128, 40.2 at 256. TPU fragmentation cost is trivial
+        # (half a page per sequence); prefix sharing coarsens to 128-token
+        # granularity with the partial-page copy covering the tail.
+        page_size: int = 128,
         num_pages: int = 512,
         max_pages_per_seq: int = 64,
         kv_dtype=jnp.bfloat16,

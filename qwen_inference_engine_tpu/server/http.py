@@ -65,9 +65,12 @@ class Server:
 
         self.tok = tok
         self.cfg = cfg
+        from qwen_inference_engine_tpu.server.cli import _approx_topk
+
         self.default_sp = SamplingParams(
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            repetition_penalty=args.repetition_penalty, greedy=args.greedy)
+            repetition_penalty=args.repetition_penalty, greedy=args.greedy,
+            approx_top_k=_approx_topk(args))
         if mesh is not None and "stage" in dict(getattr(mesh, "shape", {})):
             # pipeline-parallel mesh: FIFO wave scheduler (layer-sharded
             # weights/KV; the paged slot scheduler assumes every device

@@ -62,7 +62,7 @@ def main():
     jax.block_until_ready(params)
 
     eng = ContinuousBatchingEngine(
-        cfg, params, max_slots=8, page_size=16,
+        cfg, params, max_slots=8, page_size=128,
         kv_dtype=(jnp.float32 if jax.default_backend() == "cpu"
                   else jnp.bfloat16),
         num_pages=max(512, 8 * (plen + max_new) // 16 + 64),
