@@ -37,16 +37,36 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
-                  o_ref, acc_ref, m_ref, l_ref, *, scale, page_size, n_kv,
-                  n_t=1):
+def _pages_per_cell(page_size: int, pages_max: int,
+                    page_block_bytes: int) -> int:
+    """Pages fetched (as separate scalar-prefetched block refs) per grid
+    cell. Measured on the r4 chip: a grid cell costs ~4 us END TO END
+    almost regardless of its payload (page 128 one-page cells: 1.1 us;
+    ppc=4 cells: 4.6 us; the contiguous kernel's 2048-token cells:
+    3.7 us) — so tokens-per-cell is the whole game. Target the
+    contiguous kernel's 2048 tokens, capped by per-ref VMEM (~2 MB of
+    single-buffered K blocks) and a 16-ref pragmatic bound."""
+    by_vmem = max(1, (2 << 20) // max(1, page_block_bytes))
+    return int(max(1, min(16, max(1, 2048 // page_size), by_vmem,
+                          pages_max)))
+
+
+def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, *rest, scale,
+                  page_size, n_kv, n_t=1, ppc=1):
     """n_t == 1: plain decode (one query per sequence). n_t > 1: the
     speculative VERIFY step — each sequence scores n_t consecutive query
     tokens (its last accepted token + the drafts) in one pass, so the qk/pv
     dots run at M = n_t*G8 instead of 8, filling MXU M-passes that plain
     decode wastes 15/16 of (docs/PERF.md). Query row r is token
     t = r // G8 at absolute position seq_len - n_t + t; causality within
-    the fresh window is the per-row mask k_pos < seq_len - (n_t-1-t)."""
+    the fresh window is the per-row mask k_pos < seq_len - (n_t-1-t).
+
+    ppc pages arrive per cell as separate block refs (the pool appears
+    ppc times in in_specs with index maps pt*ppc+i) — grid cells and
+    their fixed overhead shrink ppc-fold."""
+    k_refs = rest[:ppc]
+    v_refs = rest[ppc:2 * ppc]
+    o_ref, acc_ref, m_ref, l_ref = rest[2 * ppc:]
     b = pl.program_id(0)
     pt = pl.program_id(1)
     n_pt = pl.num_programs(1)
@@ -60,35 +80,41 @@ def _paged_kernel(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
 
     seq_len = lens_ref[b]
 
-    @pl.when(pt * page_size < seq_len)
-    def _():
-        k_pos = pt * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (GP, page_size), 1)
-        if n_t == 1:
-            valid = k_pos < seq_len
-        else:
-            q_t = jax.lax.broadcasted_iota(
-                jnp.int32, (GP, page_size), 0) // (GP // n_t)
-            valid = k_pos < seq_len - (n_t - 1) + q_t
-        for h in range(n_kv):  # all KV heads of the sequence in one cell
-            q = q_ref[0, h]                                # [GP, D]
-            k = k_ref[0, 0, h]                             # [page, D]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = jnp.where(valid, s, _NEG_INF)
+    for c in range(ppc):
+        base = (pt * ppc + c) * page_size
 
-            sl = slice(h * GP, (h + 1) * GP)
-            m_prev = m_ref[sl]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[sl] = m_new
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0, h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[sl] = acc_ref[sl] * alpha + pv
+        @pl.when(base < seq_len)
+        def _(c=c, base=base):
+            k_pos = base + jax.lax.broadcasted_iota(
+                jnp.int32, (GP, page_size), 1)
+            if n_t == 1:
+                valid = k_pos < seq_len
+            else:
+                q_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (GP, page_size), 0) // (GP // n_t)
+                valid = k_pos < seq_len - (n_t - 1) + q_t
+            for h in range(n_kv):  # all KV heads of a sequence per cell
+                q = q_ref[0, h]                            # [GP, D]
+                k = k_refs[c][0, 0, h]                     # [page, D]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(valid, s, _NEG_INF)
+
+                sl = slice(h * GP, (h + 1) * GP)
+                m_prev = m_ref[sl]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[sl] = (l_ref[sl] * alpha
+                             + jnp.sum(p, axis=1, keepdims=True))
+                m_ref[sl] = m_new
+                pv = jax.lax.dot_general(
+                    p.astype(v_refs[c].dtype), v_refs[c][0, 0, h],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[sl] = acc_ref[sl] * alpha + pv
 
     @pl.when(pt == n_pt - 1)
     def _():
@@ -103,26 +129,32 @@ def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale,
     """q [B, Hk, GP, D]; pools stacked [L, P, Hk, page, D]."""
     B, Hk, GP, D = q.shape
     pages_max = tables.shape[1]
+    ppc = _pages_per_cell(page_size, pages_max,
+                          Hk * page_size * D * k_pages.dtype.itemsize)
 
-    def kv_index(b, pt, tables, lens, layer):
-        # clamp to the last page this row needs (repeat index => no DMA)
-        last = jnp.maximum(lens[b] - 1, 0) // page_size
-        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0, 0)
+    def kv_index(i):
+        def f(b, pt, tables, lens, layer):
+            # clamp to the last page this row needs (repeat idx => no DMA)
+            last = jnp.maximum(lens[b] - 1, 0) // page_size
+            return (layer[0], tables[b, jnp.minimum(pt * ppc + i, last)],
+                    0, 0, 0)
+        return f
 
     kernel = functools.partial(
-        _paged_kernel, scale=scale, page_size=page_size, n_kv=Hk, n_t=n_t)
+        _paged_kernel, scale=scale, page_size=page_size, n_kv=Hk, n_t=n_t,
+        ppc=ppc)
+    page_spec = lambda i: pl.BlockSpec((1, 1, Hk, page_size, D),
+                                       kv_index(i),
+                                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, pages_max),
+        grid=(B, -(-pages_max // ppc)),
         in_specs=[
             pl.BlockSpec((1, Hk, GP, D),
                          lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [page_spec(i) for i in range(ppc)]
+          + [page_spec(i) for i in range(ppc)],
         out_specs=pl.BlockSpec((1, Hk, GP, D),
                                lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -139,7 +171,7 @@ def _paged_bhgd(q, k_pages, v_pages, tables, lens, layer, *, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(tables, lens, layer, q, k_pages, v_pages)
+    )(tables, lens, layer, q, *([k_pages] * ppc), *([v_pages] * ppc))
 
 
 def paged_attention_supported(head_dim: int, page_size: int) -> bool:
@@ -208,9 +240,13 @@ def paged_decode_attention(
 # with INT8 KV doubles the page-pool capacity at equal HBM.
 # ----------------------------------------------------------------------
 
-def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
-                     ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                     scale, page_size, n_kv, n_t=1):
+def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, *rest,
+                     scale, page_size, n_kv, n_t=1, ppc=1):
+    k_refs = rest[:ppc]
+    v_refs = rest[ppc:2 * ppc]
+    ks_refs = rest[2 * ppc:3 * ppc]
+    vs_refs = rest[3 * ppc:4 * ppc]
+    o_ref, acc_ref, m_ref, l_ref = rest[4 * ppc:]
     b = pl.program_id(0)
     pt = pl.program_id(1)
     n_pt = pl.num_programs(1)
@@ -224,38 +260,43 @@ def _paged_kernel_q8(tables_ref, lens_ref, layer_ref, q_ref, k_ref, v_ref,
 
     seq_len = lens_ref[b]
 
-    @pl.when(pt * page_size < seq_len)
-    def _():
-        k_pos = pt * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (GP, page_size), 1)
-        if n_t == 1:
-            valid = k_pos < seq_len
-        else:  # verify step: per-query-token causal mask (see _paged_kernel)
-            q_t = jax.lax.broadcasted_iota(
-                jnp.int32, (GP, page_size), 0) // (GP // n_t)
-            valid = k_pos < seq_len - (n_t - 1) + q_t
-        for h in range(n_kv):
-            q = q_ref[0, h]                                # [GP, D] bf16
-            k = k_ref[0, 0, h]                             # [page, D] int8
-            ks = ks_ref[0, 0, h]                           # [page] f32
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s * (ks[None, :] * scale)                  # dequant K
-            s = jnp.where(valid, s, _NEG_INF)
+    for c in range(ppc):
+        base = (pt * ppc + c) * page_size
 
-            sl = slice(h * GP, (h + 1) * GP)
-            m_prev = m_ref[sl]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[sl] = m_new
-            pv = jax.lax.dot_general(
-                (p * vs_ref[0, 0, h][None, :]).astype(jnp.bfloat16),
-                v_ref[0, 0, h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[sl] = acc_ref[sl] * alpha + pv
+        @pl.when(base < seq_len)
+        def _(c=c, base=base):
+            k_pos = base + jax.lax.broadcasted_iota(
+                jnp.int32, (GP, page_size), 1)
+            if n_t == 1:
+                valid = k_pos < seq_len
+            else:  # verify: per-query-token causal mask (_paged_kernel)
+                q_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (GP, page_size), 0) // (GP // n_t)
+                valid = k_pos < seq_len - (n_t - 1) + q_t
+            for h in range(n_kv):
+                q = q_ref[0, h]                            # [GP, D] bf16
+                k = k_refs[c][0, 0, h]                     # [page, D] int8
+                ks = ks_refs[c][0, 0, h]                   # [page] f32
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s * (ks[None, :] * scale)              # dequant K
+                s = jnp.where(valid, s, _NEG_INF)
+
+                sl = slice(h * GP, (h + 1) * GP)
+                m_prev = m_ref[sl]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[sl] = (l_ref[sl] * alpha
+                             + jnp.sum(p, axis=1, keepdims=True))
+                m_ref[sl] = m_new
+                pv = jax.lax.dot_general(
+                    (p * vs_refs[c][0, 0, h][None, :]).astype(jnp.bfloat16),
+                    v_refs[c][0, 0, h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_ref[sl] = acc_ref[sl] * alpha + pv
 
     @pl.when(pt == n_pt - 1)
     def _():
@@ -269,34 +310,42 @@ def _paged_bhgd_q8(q, k_pages, v_pages, k_scale, v_scale, tables, lens,
                    layer, *, scale, page_size, n_t=1):
     B, Hk, GP, D = q.shape
     pages_max = tables.shape[1]
+    ppc = _pages_per_cell(page_size, pages_max,
+                          Hk * page_size * D * k_pages.dtype.itemsize)
 
-    def kv_index(b, pt, tables, lens, layer):
-        last = jnp.maximum(lens[b] - 1, 0) // page_size
-        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0, 0)
+    def kv_index(i):
+        def f(b, pt, tables, lens, layer):
+            last = jnp.maximum(lens[b] - 1, 0) // page_size
+            return (layer[0], tables[b, jnp.minimum(pt * ppc + i, last)],
+                    0, 0, 0)
+        return f
 
-    def sc_index(b, pt, tables, lens, layer):
-        last = jnp.maximum(lens[b] - 1, 0) // page_size
-        return (layer[0], tables[b, jnp.minimum(pt, last)], 0, 0)
+    def sc_index(i):
+        def f(b, pt, tables, lens, layer):
+            last = jnp.maximum(lens[b] - 1, 0) // page_size
+            return (layer[0], tables[b, jnp.minimum(pt * ppc + i, last)],
+                    0, 0)
+        return f
 
     kernel = functools.partial(
         _paged_kernel_q8, scale=scale, page_size=page_size, n_kv=Hk,
-        n_t=n_t)
+        n_t=n_t, ppc=ppc)
+    page_spec = lambda i: pl.BlockSpec((1, 1, Hk, page_size, D),
+                                       kv_index(i),
+                                       memory_space=pltpu.VMEM)
+    scale_spec = lambda i: pl.BlockSpec((1, 1, Hk, page_size), sc_index(i),
+                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, pages_max),
+        grid=(B, -(-pages_max // ppc)),
         in_specs=[
             pl.BlockSpec((1, Hk, GP, D),
                          lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size, D), kv_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size), sc_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hk, page_size), sc_index,
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [page_spec(i) for i in range(ppc)]
+          + [page_spec(i) for i in range(ppc)]
+          + [scale_spec(i) for i in range(ppc)]
+          + [scale_spec(i) for i in range(ppc)],
         out_specs=pl.BlockSpec((1, Hk, GP, D),
                                lambda b, pt, tables, lens, layer: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -313,7 +362,8 @@ def _paged_bhgd_q8(q, k_pages, v_pages, k_scale, v_scale, tables, lens,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(tables, lens, layer, q, k_pages, v_pages, k_scale, v_scale)
+    )(tables, lens, layer, q, *([k_pages] * ppc), *([v_pages] * ppc),
+      *([k_scale] * ppc), *([v_scale] * ppc))
 
 
 def paged_decode_attention_stacked_q8(

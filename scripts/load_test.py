@@ -61,13 +61,17 @@ def main():
                                        pad_free=True)
     jax.block_until_ready(params)
 
+    page = 128
+    pages_per_seq = -(-(plen + max_new + 8) // page) + 1
     eng = ContinuousBatchingEngine(
-        cfg, params, max_slots=8, page_size=128,
+        cfg, params, max_slots=8, page_size=page,
         kv_dtype=(jnp.float32 if jax.default_backend() == "cpu"
                   else jnp.bfloat16),
-        num_pages=max(512, 8 * (plen + max_new) // 16 + 64),
-        max_pages_per_seq=(plen + max_new) // 16 + 2,
-        sampling=SamplingParams(temperature=0.7, top_k=50), seed=0,
+        num_pages=8 * pages_per_seq + 8,
+        max_pages_per_seq=pages_per_seq,
+        sampling=SamplingParams(temperature=0.7, top_k=50,
+                                approx_top_k=jax.default_backend() == "tpu"),
+        seed=0,
         speculative=mode.startswith("spec"), spec_k=4,
         draft_params=params if mode == "spec-self" else None,
         draft_cfg=cfg if mode == "spec-self" else None)
@@ -76,10 +80,19 @@ def main():
     prompts = [rng.integers(1, cfg.vocab_size, size=plen).tolist()
                for _ in range(n_req)]
 
-    # warm the compile caches with one full request
+    # warm the compile caches with one full request; speculative modes
+    # additionally need the verify/chained shapes compiled (a PERIODIC
+    # prompt guarantees the spec rounds actually run in warmup — without
+    # it the first verify compile lands inside the measurement window)
     eng.submit(Request(request_id=10_000, prompt=prompts[0][:plen],
                        max_new_tokens=4))
     eng.run_to_completion()
+    if mode.startswith("spec"):
+        period = rng.integers(1, cfg.vocab_size, 24).tolist()
+        eng.submit(Request(request_id=10_001,
+                           prompt=(period * (plen // 24))[:plen],
+                           max_new_tokens=32))
+        eng.run_to_completion()
     print("warmup done", flush=True)
 
     token_times: dict = {}
@@ -93,8 +106,12 @@ def main():
     last_tick = None
     admit_ticks = 0
     while next_i < n_req or eng.has_work():
-        # staggered arrivals: 2 new requests every 4 ticks
-        if next_i < n_req and (next_i < 2 or eng._step_count % 4 == 0):
+        # staggered arrivals: 2 new requests every 4 ticks. The idle
+        # guard matters: a drained engine stops advancing _step_count,
+        # and if it parked on a non-multiple the gate would never fire
+        # again (the r4 "load test hang" was this script, not the engine)
+        if next_i < n_req and (next_i < 2 or eng._step_count % 4 == 0
+                               or not eng.has_work()):
             for _ in range(2):
                 if next_i >= n_req:
                     break
