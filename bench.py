@@ -477,7 +477,7 @@ def main():
         spec_kwargs = dict(
             batch=int(os.environ.get("BENCH_SPEC_BATCH", "16")),
             kv_bits=8, spec_k=int(os.environ.get("BENCH_SPEC_K", "4")),
-            page_size=int(os.environ.get("BENCH_SPEC_PAGE", "128")),
+            page_size=int(os.environ.get("BENCH_SPEC_PAGE", "512")),
             period=int(os.environ.get("BENCH_SPEC_PERIOD", "48")),
             reps=4, max_new=int(os.environ.get("BENCH_SPEC_NEW", "96")))
         try:

@@ -152,13 +152,15 @@ class ContinuousBatchingEngine:
         *,
         mesh=None,
         max_slots: int = 8,
-        # 128-token pages: the paged-attention grid is (B, pages/seq), so
-        # page size sets the per-layer cell count — measured on the r4
-        # chip at b96xS1500: 266.7 ms/tick at page 16 (vLLM's CUDA-ism),
-        # 44.4 at 128, 40.2 at 256. TPU fragmentation cost is trivial
-        # (half a page per sequence); prefix sharing coarsens to 128-token
-        # granularity with the partial-page copy covering the tail.
-        page_size: int = 128,
+        # 512-token pages: the paged-attention wall is per-page-DMA issue
+        # cost, so page size sets the serving tick — measured b96×S1500
+        # on the r4 chip (scripts/ablate_paged.py): attention 35.4 /
+        # 30.2 / 19.8 ms at pages 128/256/512 (page 16, the vLLM CUDA-ism
+        # shipped until r4: 266.7 ms whole tick). TPU fragmentation cost
+        # is half a page per sequence — trivial next to the tick; prefix
+        # sharing coarsens to page granularity with the partial-page copy
+        # covering tails.
+        page_size: int = 512,
         num_pages: int = 512,
         max_pages_per_seq: int = 64,
         kv_dtype=jnp.bfloat16,

@@ -274,11 +274,14 @@ def main(argv=None) -> int:
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--max-slots", type=int, default=8)
-    s.add_argument("--page-size", type=int, default=128,
-                   help="KV page size in tokens (paged-attention grid "
-                        "cells scale with pages/seq: 16 measured 6x "
-                        "slower than 128 at b96xS1500, docs/PERF.md r4)")
-    s.add_argument("--num-pages", type=int, default=512)
+    s.add_argument("--page-size", type=int, default=512,
+                   help="KV page size in tokens (the paged-attention "
+                        "wall is per-page-DMA issue cost: 16 measured "
+                        "9x slower than 512 at b96xS1500, docs/PERF.md "
+                        "r4)")
+    s.add_argument("--num-pages", type=int, default=0,
+                   help="KV page pool size (0 = sized from --max-slots x "
+                        "--max-seq plus prefix-cache slack)")
     s.add_argument("--no-prefix-cache", action="store_true",
                    help="disable automatic prefix caching (page reuse "
                         "across requests sharing a prompt prefix)")

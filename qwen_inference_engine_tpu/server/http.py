@@ -86,11 +86,15 @@ class Server:
                 kv_dtype=kv_dtype_from_bits(args.kv_bits),
                 sampling=self.default_sp, seed=args.seed)
         else:
+            pages_per_seq = max(4, -(-args.max_seq // args.page_size))
+            num_pages = (args.num_pages or
+                         args.max_slots * pages_per_seq
+                         + max(8, args.max_slots * pages_per_seq // 4))
             self.engine = ContinuousBatchingEngine(
                 cfg, params, mesh=mesh, on_token=self._on_token,
                 max_slots=args.max_slots, page_size=args.page_size,
-                num_pages=args.num_pages,
-                max_pages_per_seq=max(4, args.max_seq // args.page_size),
+                num_pages=num_pages,
+                max_pages_per_seq=pages_per_seq,
                 kv_dtype=kv_dtype_from_bits(args.kv_bits),
                 sampling=self.default_sp, seed=args.seed,
                 prefix_cache=not getattr(args, "no_prefix_cache", False),

@@ -65,7 +65,7 @@ def main():
                                    pad_free=True, dtype=dt)
     jax.block_until_ready(params)
 
-    page = 128  # serving default (page-16 grids measured 6x slower, r4)
+    page = 512  # serving default (per-page DMA issue cost; PERF.md r4)
     # earlier-admitted slots DECODE one token per tick while later slots
     # prefill (continuous batching!): budget max_new past the admission
     # phase (~batch ticks at whole-prompt chunks) so no slot finishes by

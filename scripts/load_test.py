@@ -46,6 +46,7 @@ def main():
     plen = int(sys.argv[3]) if len(sys.argv) > 3 else 384
     step_ticks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
+    greedy = len(sys.argv) > 6 and sys.argv[6] == "greedy"
     max_new = 48
 
     if model == "tiny":
@@ -61,7 +62,7 @@ def main():
                                        pad_free=True)
     jax.block_until_ready(params)
 
-    page = 128
+    page = 512  # serving default (per-page DMA issue cost; PERF.md r4)
     pages_per_seq = -(-(plen + max_new + 8) // page) + 1
     eng = ContinuousBatchingEngine(
         cfg, params, max_slots=8, page_size=page,
@@ -69,7 +70,7 @@ def main():
                   else jnp.bfloat16),
         num_pages=8 * pages_per_seq + 8,
         max_pages_per_seq=pages_per_seq,
-        sampling=SamplingParams(temperature=0.7, top_k=50,
+        sampling=SamplingParams(temperature=0.7, top_k=50, greedy=greedy,
                                 approx_top_k=jax.default_backend() == "tpu"),
         seed=0,
         speculative=mode.startswith("spec"), spec_k=4,
