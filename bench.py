@@ -324,6 +324,9 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
             draft_params=params if mode == "spec_self" else None,
             draft_cfg=cfg if mode == "spec_self" else None,
         )
+        # random weights can argmax onto EOS for some prompt, finishing a
+        # slot early and unbalancing the fixed-batch comparison
+        cb._eos = set()
         # WARM WAVE (untimed): the chained decode/verify jits, the
         # round-stack shapes, and the history-push buckets all compile on
         # a throwaway copy of the workload — jits are cached per engine,

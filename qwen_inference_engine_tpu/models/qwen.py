@@ -660,6 +660,36 @@ def forward_hidden(
                     cache_c["k"], cache_c["v"], k, v, positions[:, 0],
                     block_tables, l, page_size=page_size)
                 cache_c = dict(cache_c, k=k_c, v=v_c)
+        elif (paged and B == 1 and T > 1 and want_kernels
+              and page_size % 8 == 0 and Dh % 128 == 0):
+            # single-slot PREFILL piece into the page pool: one tile RMW
+            # per touched page (the XLA scatter serializes per token and
+            # RMWs a full [page, D] tile each — 558 s for 96 admissions
+            # of 1408 tokens at page 512, r4)
+            from qwen_inference_engine_tpu.ops.kv_append import (
+                paged_append_prefill,
+            )
+
+            start = positions[0, 0]
+            if cache_c.get("k_scale") is not None:
+                qk, sk = quantize_kv(k)
+                qv, sv = quantize_kv(v)
+                k_c, v_c = paged_append_prefill(
+                    cache_c["k"], cache_c["v"], qk, qv, start,
+                    block_tables, l, page_size=page_size)
+                ks_c = paged_write_stacked(
+                    cache_c["k_scale"][..., None], l, sk[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                vs_c = paged_write_stacked(
+                    cache_c["v_scale"][..., None], l, sv[..., None],
+                    positions, block_tables, page_size)[..., 0]
+                cache_c = dict(cache_c, k=k_c, v=v_c,
+                               k_scale=ks_c, v_scale=vs_c)
+            else:
+                k_c, v_c = paged_append_prefill(
+                    cache_c["k"], cache_c["v"], k, v, start,
+                    block_tables, l, page_size=page_size)
+                cache_c = dict(cache_c, k=k_c, v=v_c)
         else:
             cache_c = _write_cache_stacked(
                 cache_c, l, k, v, positions, block_tables, page_size,

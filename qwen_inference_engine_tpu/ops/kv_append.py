@@ -619,3 +619,113 @@ def paged_append_ragged_t(k_pages, v_pages, k_new, v_new, positions,
         ),
     )(positions.astype(jnp.int32), block_tables.astype(jnp.int32),
       jnp.asarray(layer, jnp.int32).reshape(1), k_pages, v_pages, kn, vn)
+
+
+# ----------------------------------------------------------------------
+# Single-row PREFILL window append: a prefill piece writes T consecutive
+# tokens of ONE sequence starting at `start`. The XLA scatter this
+# replaces serializes per token AND pays a full [page, D] tile RMW per
+# token, so its cost grows with page size (r4: 96 admissions of 1408
+# tokens took 64.6 s at page 128 and 558 s at page 512). Here the new
+# rows are host-aligned to page boundaries once, then one grid cell per
+# touched page does a single tile RMW (read, mask-blend, write) with the
+# aligned block pipelined in via BlockSpec.
+# ----------------------------------------------------------------------
+
+def _paged_prefill_kernel(start_ref, tables_ref, layer_ref, kc_hbm, vc_hbm,
+                          kn_ref, vn_ref, kc_out, vc_out, ktile, vtile,
+                          sem, *, page_size, T):
+    del kc_hbm, vc_hbm
+    i = pl.program_id(0)
+    l = layer_ref[0]
+    start = start_ref[0]
+    first = start // page_size
+    base = (first + i) * page_size
+
+    @pl.when(base < start + T)
+    def _():
+        page = tables_ref[0, first + i]
+        cps = [
+            pltpu.make_async_copy(kc_out.at[l, page], ktile, sem.at[0]),
+            pltpu.make_async_copy(vc_out.at[l, page], vtile, sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        pos = base + jax.lax.broadcasted_iota(
+            jnp.int32, ktile.shape, dimension=1)
+        sel = (pos >= start) & (pos < start + T)
+        ktile[:] = jnp.where(sel, kn_ref[0], ktile[:])
+        vtile[:] = jnp.where(sel, vn_ref[0], vtile[:])
+        cps = [
+            pltpu.make_async_copy(ktile, kc_out.at[l, page], sem.at[0]),
+            pltpu.make_async_copy(vtile, vc_out.at[l, page], sem.at[1]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",))
+def paged_append_prefill(k_pages, v_pages, k_new, v_new, start,
+                         block_tables, layer, *, page_size):
+    """Write ``k/v_new [1, T, Hk, D]`` at consecutive positions
+    ``start..start+T-1`` of ONE row through ``block_tables [1, max_pages]``
+    into the stacked page pools ``[L, P, Hk, page, D]``, in place."""
+    L, P, Hk, PS, D = k_pages.shape
+    B, T = k_new.shape[:2]
+    assert B == 1, "prefill window append is a single-row kernel"
+    npw = -(-T // PS) + 1              # pages the window may touch
+    start = jnp.asarray(start, jnp.int32).reshape(1)
+    off = start[0] % PS
+    # align the fresh rows to page boundaries once on the host side:
+    # cell i's block is then a plain (i, ...) index map
+    kn = jnp.zeros((Hk, npw * PS, D), k_pages.dtype)
+    vn = jnp.zeros((Hk, npw * PS, D), v_pages.dtype)
+    kn = jax.lax.dynamic_update_slice(
+        kn, k_new[0].swapaxes(0, 1).astype(k_pages.dtype), (0, off, 0))
+    vn = jax.lax.dynamic_update_slice(
+        vn, v_new[0].swapaxes(0, 1).astype(v_pages.dtype), (0, off, 0))
+    kn = kn.reshape(Hk, npw, PS, D).swapaxes(0, 1)   # [npw, Hk, PS, D]
+    vn = vn.reshape(Hk, npw, PS, D).swapaxes(0, 1)
+
+    def kn_index(i, start, tables, layer):
+        return (i, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(npw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # k_pages (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_pages
+            pl.BlockSpec((1, Hk, PS, D), kn_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hk, PS, D), kn_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hk, PS, D), k_pages.dtype),
+            pltpu.VMEM((Hk, PS, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_prefill_kernel, page_size=PS, T=T),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(start, block_tables.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), k_pages, v_pages, kn, vn)

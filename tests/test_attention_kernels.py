@@ -726,3 +726,33 @@ def test_contiguous_kernels_row_window():
             layer, lens)
     np.testing.assert_allclose(np.asarray(a8_win), np.asarray(a8_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("start,T", [(0, 8), (3, 8), (5, 20), (8, 16),
+                                     (13, 29)])
+def test_paged_append_prefill_matches_scatter_oracle(start, T):
+    """Single-row prefill window append (one tile RMW per touched page)
+    vs the XLA scatter oracle — page-aligned, mid-page, and multi-page
+    straddling starts."""
+    import qwen_inference_engine_tpu.ops.kv_append as kva
+    from qwen_inference_engine_tpu.models.qwen import paged_write_stacked
+
+    L, P, Hk, PS, D = 2, 12, 2, 8, 128
+    rng = np.random.default_rng(start * 100 + T)
+    kp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(L, P, Hk, PS, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(1, T, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(1, T, Hk, D)).astype(np.float32))
+    tables = jnp.asarray(
+        rng.permutation(P - 1)[: (start + T + PS - 1) // PS + 1][None] + 1,
+        jnp.int32)
+    positions = (start + jnp.arange(T, dtype=jnp.int32))[None]
+    layer = 1
+
+    want_k = paged_write_stacked(kp, layer, kn, positions, tables, PS)
+    want_v = paged_write_stacked(vp, layer, vn, positions, tables, PS)
+    with interpret_pallas(kva):
+        got_k, got_v = kva.paged_append_prefill(
+            kp, vp, kn, vn, start, tables, layer, page_size=PS)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
