@@ -392,6 +392,7 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         "unit": "tok/s",
         "vs_baseline": round(speedup, 4),
         "tok_per_forward": round(tpf, 3),
+        "plain_tok_per_s": round(results["plain"][0], 2),
     }
 
 
@@ -506,6 +507,14 @@ def main():
             serve_kwargs = dict(spec_kwargs)
             serve_kwargs["batch"] = int(
                 os.environ.get("BENCH_SERVE_BATCH", "96"))
+            # long generations so the admission transient (one prefill
+            # tick per slot while earlier slots decode) amortizes into
+            # steady-state serving; at this batch the verify's M-passes
+            # already fill, so expect spec ~neutral (break-even ~3.5
+            # tok/forward at b96 — ablate_verify r4) and read the PLAIN
+            # side as the serving-throughput-at-scale number
+            serve_kwargs["max_new"] = int(
+                os.environ.get("BENCH_SERVE_NEW", "256"))
             lines.append(run_spec_config(cfg, params, **serve_kwargs))
         except Exception as e:
             log(f"serving-scale speculative bench failed: {e!r}")
