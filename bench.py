@@ -310,7 +310,9 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
     # drafter-chain + verify round (the structural M-fill, end to end)
     modes = ["plain", "spec"]
     if (os.environ.get("BENCH_SPEC_DRAFT") == "self"
-            and workload == "periodic"):
+            and workload == "periodic" and batch <= 32):
+        # acceptance-ceiling demo row: only meaningful at small batch
+        # (the 7B drafting for itself costs k+1 full-size steps/round)
         modes.append("spec_self")
     results = {}
     for mode in modes:
@@ -332,7 +334,7 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         # a throwaway copy of the workload — jits are cached per engine,
         # so the warm wave must run on THIS engine. Measured on the r4
         # chip: cold wave 95 tok/s, warm waves 618 -> 1016 tok/s.
-        for w in range(2):
+        for w in range(2 if batch <= 32 else 1):
             for rid, p in enumerate(prompts):
                 cb.submit(Request(request_id=10_000 * (w + 1) + rid,
                                   prompt=p, max_new_tokens=max_new))
