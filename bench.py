@@ -15,7 +15,11 @@ Extra lines (both gated off in BENCH_SMALL / by env):
     skip),
   * the speculative-serving config (paged scheduler, prompt-lookup drafts
     on a repetitive workload) — its vs_baseline is the speedup over the
-    SAME workload served non-speculatively (BENCH_SPEC=0 to skip).
+    SAME workload served non-speculatively (BENCH_SPEC=0 to skip),
+  * the INT8 weight-only decode row (b64 x 1408, bf16 KV) — the
+    execution-efficiency point where the matmul phase is stream-bound
+    and the bytes roofline is reachable (BENCH_INT8_ROW=0 to skip,
+    BENCH_INT8_BATCH to resize).
 
 Everything (weights, KV traffic) is modeled from actual array sizes; the
 roofline is bytes-per-decode-step / HBM bandwidth. Weights are random but
@@ -520,6 +524,40 @@ def main():
             lines.append(run_spec_config(cfg, params, **serve_kwargs))
         except Exception as e:
             log(f"serving-scale speculative bench failed: {e!r}")
+
+    if (os.environ.get("BENCH_INT8_ROW", "0" if small else "1") == "1"
+            and not moe_only and not spec_only):
+        # INT8 weight-only decode row (b64 × 1408, bf16 KV): INT8 doubles
+        # the weight bytes without changing the MXU pass count, so the
+        # matmul phase is stream-bound and the bytes-roofline target is
+        # reachable — the measured ≥0.85 vs_baseline decode point
+        # (docs/PERF.md "INT8 cross-check": 19.04 ms/step, 0.949). The
+        # INT4 headline stays first (BASELINE.md names that config); this
+        # row records the execution-efficiency point every round. Runs
+        # with the INT4 params freed: INT8 weights (~8 GB) + b64 bf16 KV
+        # (~5.6 GB) fill the chip.
+        del params
+        params = None
+        jax.clear_caches()
+        try:
+            t0 = time.perf_counter()
+            params8 = build_params(cfg, 8, gs, q_lmhead)
+            jax.block_until_ready(params8)
+            log(f"int8 params ready in {time.perf_counter()-t0:.1f}s; "
+                f"weight bytes={tree_bytes(params8)/1e9:.2f} GB")
+            lines.append(run_decode_config(
+                cfg, params8,
+                batch=int(os.environ.get("BENCH_INT8_BATCH", "64")),
+                steps=steps, prompt_len=prompt_len, bits=8, kv_bits=16,
+                warmup=warmup, chunk=chunk, want_pumped=False))
+        except Exception as e:
+            log(f"int8 row failed: {e!r}")
+        finally:
+            try:
+                del params8
+            except NameError:
+                pass
+            jax.clear_caches()
 
     if os.environ.get("BENCH_MOE") == "1":
         # Qwen3-30B-A3B-shaped MoE row (VERDICT r2 #2): the full model's

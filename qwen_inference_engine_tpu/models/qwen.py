@@ -134,6 +134,10 @@ def init_quantized_params(cfg: ModelConfig, key: jax.Array, bits: int = 4,
             q = jax.random.randint(next(ks), (L, kin // pack, out), -128, 128,
                                    dtype=jnp.int8)
         else:
+            # INT8: shrink gs for tiny dims too (kin < gs would give zero
+            # scale groups — tripped by the tiny-model bench smoke)
+            while gs > 2 and kin % gs:
+                gs //= 2
             q = jax.random.randint(next(ks), (L, kin // pack, out), -qmax,
                                    qmax + 1, dtype=jnp.int8)
         scales = jnp.full((L, kin // gs, out), (kin ** -0.5) / qmax,
@@ -460,6 +464,7 @@ def forward_hidden(
     use_contig_kernel = False
     use_chunk_kernel = False
     use_verify_kernel = False
+    use_paged_chunk_kernel = False
     if want_kernels:
         from qwen_inference_engine_tpu.ops.flash_attention import (
             flash_attention_supported,
@@ -481,6 +486,17 @@ def forward_hidden(
             use_verify_kernel = (
                 paged_verify_attention_supported(Dh, page_size, T, Hq, Hk)
                 and T <= page_size)
+        elif paged and T > 1:
+            # chunked-prefill CONTINUATION piece into the page pool:
+            # flash over the paged prefix instead of the XLA page gather
+            # (paged_read materializes [B, Hk, max_pages*page, D] per
+            # layer per piece — admission was gather-bound, ROADMAP #2)
+            from qwen_inference_engine_tpu.ops.chunk_attention import (
+                paged_chunk_attention_supported,
+            )
+
+            use_paged_chunk_kernel = paged_chunk_attention_supported(
+                Dh, T, Hq, Hk, page_size)
         elif not paged and T == 1:
             from qwen_inference_engine_tpu.ops.decode_attention import (
                 decode_attention_supported,
@@ -771,6 +787,27 @@ def forward_hidden(
                 attn = paged_decode_attention_stacked(
                     q, cache_c["k"], cache_c["v"], block_tables,
                     positions[:, 0] + 1, page_size, l)
+        elif use_paged_chunk_kernel:
+            # prefill continuation piece: flash over the paged prefix
+            # [0, start+T) — q rows tiled, pages DMA'd via the block
+            # table (never the paged_read gather)
+            if cache_c.get("k_scale") is not None:
+                from qwen_inference_engine_tpu.ops.chunk_attention import (
+                    paged_chunk_attention_q8,
+                )
+
+                attn = paged_chunk_attention_q8(
+                    q, cache_c["k"], cache_c["v"],
+                    cache_c["k_scale"], cache_c["v_scale"], block_tables,
+                    l, positions[:, 0], page_size)
+            else:
+                from qwen_inference_engine_tpu.ops.chunk_attention import (
+                    paged_chunk_attention,
+                )
+
+                attn = paged_chunk_attention(
+                    q, cache_c["k"], cache_c["v"], block_tables,
+                    l, positions[:, 0], page_size)
         elif use_chunk_kernel:
             if cache_c.get("k_scale") is not None:
                 from qwen_inference_engine_tpu.ops.chunk_attention import (

@@ -35,15 +35,21 @@ Hk, Hq, D = 4, 28, 128
 _NEG_INF = -1e30
 
 
+def _sync(o):
+    # jax.block_until_ready returns EARLY through the axon tunnel
+    # (.claude/skills/verify) — sync by fetching a value instead.
+    np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+
+
 def timed(fn, *args, reps=20):
-    jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         o = None
         for _ in range(reps):
             o = fn(*args)
-        jax.block_until_ready(o)
+        _sync(o)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

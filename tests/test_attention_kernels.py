@@ -756,3 +756,130 @@ def test_paged_append_prefill_matches_scatter_oracle(start, T):
             kp, vp, kn, vn, start, tables, layer, page_size=PS)
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k))
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+
+
+@pytest.mark.parametrize("T,start,page", [(16, 32, 64), (8, 0, 128),
+                                          (256, 96, 128)])
+def test_paged_chunk_attention_matches_oracle(T, start, page):
+    """Paged continuation-piece flash kernel (q rows tiled, pages via
+    block table) vs the einsum oracle over the gathered pages. T=256
+    exercises the q-tile grid dim (TQ=128)."""
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+
+    L, B, Hk, G, D = 2, 3, 2, 4, 128
+    Hq = G * Hk
+    S = start + T
+    pps = -(-S // page)
+    P = B * pps + 3
+    rng = np.random.default_rng(37)
+    kp = jnp.asarray(rng.normal(size=(L, P, Hk, page, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(L, P, Hk, page, D)), jnp.float32)
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    layer = 1
+
+    assert ca.paged_chunk_attention_supported(D, T, Hq, Hk, page)
+    with interpret_pallas(ca):
+        got = ca.paged_chunk_attention(q, kp, vp, tables, layer, start,
+                                       page)
+
+    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+    k_all = paged_read(kp[layer], tables)
+    v_all = paged_read(vp[layer], tables)
+    oracle = gqa_attention_kmajor(q, k_all, v_all, positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=4e-3, atol=4e-3)
+
+
+@pytest.mark.parametrize("T,start", [(16, 32), (8, 120)])
+def test_paged_chunk_attention_q8_matches_dequant_oracle(T, start):
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+    from qwen_inference_engine_tpu.quant.kv_quant import (
+        dequantize_kv,
+        quantize_kv,
+    )
+
+    L, B, Hk, G, D, page = 2, 2, 2, 4, 128, 64
+    Hq = G * Hk
+    S = start + T
+    pps = -(-S // page)
+    P = B * pps + 2
+    rng = np.random.default_rng(41)
+    kf = jnp.asarray(rng.normal(size=(L, P, Hk, page, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(L, P, Hk, page, D)), jnp.float32)
+    kq, ks = quantize_kv(kf)
+    vq, vs = quantize_kv(vf)
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    layer = 0
+
+    with interpret_pallas(ca):
+        got = ca.paged_chunk_attention_q8(q, kq, vq, ks, vs, tables,
+                                          layer, start, page)
+
+    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+    k_deq = dequantize_kv(paged_read(kq[layer], tables),
+                          paged_read(ks[layer][..., None],
+                                     tables)[..., 0], jnp.float32)
+    v_deq = dequantize_kv(paged_read(vq[layer], tables),
+                          paged_read(vs[layer][..., None],
+                                     tables)[..., 0], jnp.float32)
+    oracle = gqa_attention_kmajor(q, k_deq, v_deq, positions)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("kv_dtype", ["f32", "int8"])
+def test_prefill_piece_with_paged_chunk_kernel_matches_xla(kv_dtype):
+    """A chunked-prefill CONTINUATION piece into the page pool (the
+    serving scheduler's admission path: B=1, consecutive positions) with
+    the paged chunk-attention + prefill-append kernels (forced via
+    attn_impl='pallas', interpret mode) must match the XLA
+    scatter/gather path."""
+    import qwen_inference_engine_tpu.ops.chunk_attention as ca
+    import qwen_inference_engine_tpu.ops.kv_append as ka
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.kvcache.cache import PagedKVCache
+    from qwen_inference_engine_tpu.models.qwen import (
+        forward_hidden,
+        init_params,
+        prefill,
+    )
+
+    cfg = tiny_config(num_heads=4, num_kv_heads=2, head_dim=128,
+                      hidden_size=256)
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    T, PS = 16, 8
+    num_pages, max_pages = 9, 8
+    hist = 13  # piece starts mid-page
+    dtype = jnp.float32 if kv_dtype == "f32" else jnp.int8
+    rng = np.random.default_rng(13)
+    tables = jnp.asarray([[1 + i for i in range(max_pages)]], jnp.int32)
+    ptoks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, hist)),
+                        jnp.int32)
+
+    def build_cache():
+        cache = PagedKVCache.create(cfg.num_layers, num_pages, PS,
+                                    cfg.num_kv_heads, cfg.head_dim,
+                                    dtype=dtype)
+        _, cache = prefill(params, cfg, ptoks,
+                           jnp.asarray([hist], jnp.int32), cache,
+                           block_tables=tables, attn_impl="xla")
+        return cache
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)), jnp.int32)
+    positions = hist + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    ref, _ = forward_hidden(params, cfg, toks, positions, build_cache(),
+                            block_tables=tables, attn_impl="xla")
+    with interpret_pallas(ca), interpret_pallas(ka):
+        got, cache2 = forward_hidden(params, cfg, toks, positions,
+                                     build_cache(), block_tables=tables,
+                                     attn_impl="pallas")
+    tol = 1e-2 if kv_dtype == "f32" else 5e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=tol)
