@@ -219,12 +219,14 @@ class ContinuousBatchingEngine:
                             "shard only holds KV for its own slots, so "
                             "pages cannot be shared across shards")
                         prefix_cache = False
-                    if speculative:
+                    if speculative and draft_params is not None:
                         import warnings
 
-                        warnings.warn("speculative decoding has no EP "
-                                      "verify path yet; disabled")
-                        speculative = False
+                        warnings.warn(
+                            "draft-model speculation has no EP drafter "
+                            "path yet; using prompt-lookup drafts")
+                        draft_params = None
+                        draft_cfg = None
                 else:
                     use_pallas = False
             else:
@@ -620,12 +622,24 @@ class ContinuousBatchingEngine:
                 tp_verify = make_tp_verify_fn(
                     cfg, self.mesh, self.params, self._cache_template(),
                     T=k + 1)
+            ep_verify = None
+            if self._ep_step:
+                from qwen_inference_engine_tpu.parallel.ep_step import (
+                    make_ep_verify_fn,
+                )
+
+                ep_verify = make_ep_verify_fn(
+                    cfg, self.mesh, self.params, self._cache_template(),
+                    T=k + 1, use_pallas=use_pallas)
 
             def fn(params, tokens, pos0, cache, tables, rkey, sp_dyn, seen,
                    drafts, active):
                 B = tokens.shape[0]
                 if tp_verify is not None:
                     logits, cache = tp_verify(params, tokens, pos0, cache,
+                                              tables)
+                elif ep_verify is not None:
+                    logits, cache = ep_verify(params, tokens, pos0, cache,
                                               tables)
                 else:
                     positions = pos0[:, None] + jnp.arange(
@@ -751,6 +765,15 @@ class ContinuousBatchingEngine:
                 tp_verify = make_tp_verify_fn(
                     cfg, self.mesh, self.params, self._cache_template(),
                     T=k + 1)
+            ep_verify = None
+            if self._ep_step:
+                from qwen_inference_engine_tpu.parallel.ep_step import (
+                    make_ep_verify_fn,
+                )
+
+                ep_verify = make_ep_verify_fn(
+                    cfg, self.mesh, self.params, self._cache_template(),
+                    T=k + 1, use_pallas=use_pallas)
 
             def fn(params, hist, lens, cache, tables, rkey, sp_dyn, seen,
                    active):
@@ -762,6 +785,9 @@ class ContinuousBatchingEngine:
                 pos0 = jnp.maximum(lens - 1, 0)
                 if tp_verify is not None:
                     logits, cache = tp_verify(params, tokens, pos0, cache,
+                                              tables)
+                elif ep_verify is not None:
+                    logits, cache = ep_verify(params, tokens, pos0, cache,
                                               tables)
                 else:
                     positions = pos0[:, None] + jnp.arange(

@@ -163,3 +163,32 @@ def make_ep_prefill_piece_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
         out_specs=out_specs,
         check_vma=False,
     )
+
+
+def make_ep_verify_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
+                      *, T: int, use_pallas: bool = True,
+                      attn_impl: str = "auto"):
+    """Speculative VERIFY forward under the EP mesh: every slot scores its
+    last accepted token + T-1 drafts in one pass (ragged per-row starts),
+    slots sharded over the ep axis exactly like make_ep_decode_fn — the
+    MoE all-to-all sees T× the tokens per round, amortizing the routing
+    metadata. Returns ``fn(params, tokens [B, T], pos0 [B], cache,
+    tables) -> (logits [B, T, V], cache)``."""
+    pspec = ep_param_pspecs(params)
+    cspec = ep_cache_pspecs(cache)
+
+    def body(params_l, tokens_l, pos0_l, cache_l, tables_l):
+        positions = pos0_l[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        hidden, cache_l = forward_hidden(
+            params_l, cfg, tokens_l, positions, cache_l,
+            block_tables=tables_l, fresh_prefill=False, ragged_multi=True,
+            use_pallas=use_pallas, attn_impl=attn_impl, ep_axis=EP_AXIS)
+        return compute_logits(params_l, hidden, use_pallas), cache_l
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P(EP_AXIS, None), P(EP_AXIS), cspec,
+                  P(EP_AXIS, None)),
+        out_specs=(P(EP_AXIS, None, None), cspec),
+        check_vma=False,
+    )

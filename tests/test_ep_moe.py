@@ -286,3 +286,54 @@ def test_scheduler_ep_serving_matches_single_device():
     mesh = make_ep_mesh(ep)
     got = run(mesh, shard_for_ep(params, mesh))
     assert got == ref, (got, ref)
+
+
+def test_scheduler_ep_serving_speculative_matches_plain():
+    """PLD speculation under the EP mesh (make_ep_verify_fn): greedy
+    outputs must be token-identical to the non-speculative single-device
+    scheduler, and at least one slot must accept drafts (the repetitive
+    prompt guarantees prompt-lookup hits)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    rep = [11, 12, 13, 14] * 5                    # PLD-friendly
+    prompts = {0: rep, 1: [7, 8, 9], 2: list(range(40, 52)), 3: rep[:12]}
+
+    def run(mesh, p, speculative):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=4, page_size=8, num_pages=64,
+            max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+            prefix_cache=False, speculative=speculative, spec_k=3)
+        if mesh is not None:
+            assert cb._ep_step, "EP serving path did not engage"
+        for rid, pr in prompts.items():
+            cb.submit(Request(request_id=rid, prompt=pr, max_new_tokens=8))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        cb.check_page_invariants()
+        snap = cb.metrics.snapshot()
+        return out, snap
+
+    ref, _ = run(None, params, False)
+    mesh = make_ep_mesh(ep)
+    got, snap = run(mesh, shard_for_ep(params, mesh), True)
+    assert got == ref, (got, ref)
+    # speculation actually ran (rounds observed) and the repetitive rows
+    # accepted drafts (>1 token per verify forward on average)
+    assert snap["spec_rounds"] > 0
+    assert snap["spec_tokens_per_forward"] > 1.0, snap
