@@ -180,14 +180,15 @@ class PPFifoScheduler:
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 6))
         return self._jit_cache[key]
 
-    def _jit_1f1b(self, steps: int):
-        key = ("pp_1f1b", steps)
+    def _jit_1f1b(self, steps: int, sampled: bool = False):
+        key = ("pp_1f1b", steps, sampled)
         if key not in self._jit_cache:
             stages = dict(self.mesh.shape)["stage"]
             self._jit_cache[key] = jax.jit(make_pp_decode_1f1b(
                 self.cfg, self.mesh, self.params, self._cache_tpl(),
                 microbatch_rows=self.max_batch // stages, steps=steps,
-                use_pallas=self.use_pallas))
+                use_pallas=self.use_pallas, sampled=sampled,
+                k_cap=self.k_cap))
         return self._jit_cache[key]
 
     def _cache_tpl(self):
@@ -297,26 +298,38 @@ class PPFifoScheduler:
                            for r in live),
                        self.max_seq - 1 - max(r["pos"] for r in live)))
         sp = self._sp_rows_d
-        # the 1F1B fast path is plain argmax: penalties change greedy
-        # token choice, so penalty rows must take the sampled tick path
-        greedy_aligned = (
-            bool(np.all(np.asarray(sp["greedy"])))
-            and bool(np.all(np.asarray(sp["repetition_penalty"]) == 1.0))
+        # 1F1B handles any per-row temp/top_p/top_k/greedy mix IN-PIPELINE
+        # (sample_rows on stage 0 between hops) but not penalties — those
+        # need the seen mask, which lives on the per-tick path; alignment
+        # and a full wave are required because microbatches share pos0
+        aligned = (
+            bool(np.all(np.asarray(sp["repetition_penalty"]) == 1.0))
             and bool(np.all(np.asarray(sp["presence_penalty"]) == 0.0))
             and len({r["pos"] for r in live}) == 1
             and len(live) == self.max_batch)
+        all_greedy = bool(np.all(np.asarray(sp["greedy"])))
         t0 = time.perf_counter()
-        if greedy_aligned:
+        if aligned:
             stages = dict(self.mesh.shape)["stage"]
             b = self.max_batch // stages
             toks = np.zeros((self.max_batch,), np.int32)
             for r in live:
                 toks[r["slot"]] = r["last"]
             pos0 = np.full((stages,), live[0]["pos"], np.int32)
-            fn = self._jit_1f1b(n)
-            ys, self.cache = fn(self.params,
-                                jnp.asarray(toks.reshape(stages, b)),
-                                jnp.asarray(pos0), self.cache)
+            if all_greedy:
+                fn = self._jit_1f1b(n)
+                ys, self.cache = fn(self.params,
+                                    jnp.asarray(toks.reshape(stages, b)),
+                                    jnp.asarray(pos0), self.cache)
+            else:
+                rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                          self._step_count)
+                sp_mb = {kk: vv.reshape(stages, b) for kk, vv in sp.items()}
+                fn = self._jit_1f1b(n, sampled=True)
+                ys, self.cache = fn(self.params,
+                                    jnp.asarray(toks.reshape(stages, b)),
+                                    jnp.asarray(pos0), self.cache,
+                                    rkey, sp_mb)
             mat = np.asarray(ys).reshape(n, self.max_batch)
             self._step_count += n
         else:

@@ -185,10 +185,21 @@ def make_pp_forward_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
 def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                         cache: KVCache, *, microbatch_rows: int,
                         steps: int, use_pallas: bool = False,
-                        zero_copy_cache: bool | None = None):
+                        zero_copy_cache: bool | None = None,
+                        sampled: bool = False, k_cap: int = 64,
+                        approx_top_k: bool = False):
     """Returns ``fn(params, init_toks [M, b], init_pos [M], cache) ->
     (tokens [steps, M, b] int32, cache)`` — greedy decode of ``steps``
     tokens for every microbatch, pipelined across the stages.
+
+    sampled=True: IN-PIPELINE dynamic sampling (ROADMAP #9) — the fn
+    takes two extra args ``(rkey, sp_dyn)`` with sp_dyn leaves [M, b]
+    (per-row temperature/top_p/top_k/greedy), and stage 0 runs
+    ``sample_rows`` on each arriving microbatch between hops, so mixed
+    stochastic waves ride the zero-bubble pipeline instead of paying the
+    full S-hop bubble per token (the per-tick sampled path). Penalty
+    rows (repetition/presence) are NOT supported here — they need the
+    seen mask, which stays on the per-tick path.
 
     zero_copy_cache (default: follow use_pallas): pass the FULL local
     cache into forward_hidden with ``cache_row0`` so the per-tick
@@ -209,7 +220,8 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
     n_ticks = stages + steps * M
     from qwen_inference_engine_tpu.ops.norms import rms_norm
 
-    def body(params_l, init_toks, init_pos, cache_l):
+    def body(params_l, init_toks, init_pos, cache_l, rkey=None,
+             sp_dyn=None):
         sid = jax.lax.axis_index(STAGE_AXIS)
         D = cfg.hidden_size
 
@@ -220,12 +232,24 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
             # ---- stage 0: finish the arriving stream, start the next ----
             xf = rms_norm(x, params_l["final_norm"], cfg.rms_norm_eps)
             logits = compute_logits(params_l, xf[:, 0], use_pallas)
-            sampled = jnp.argmax(logits, -1).astype(jnp.int32)   # [b]
+            if sampled:
+                from qwen_inference_engine_tpu.ops.sampling import (
+                    sample_rows,
+                )
+
+                sp_m = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, m0, 0, keepdims=False), sp_dyn)
+                new_tok = sample_rows(
+                    logits, jax.random.fold_in(rkey, t), k_cap=k_cap,
+                    approx_top_k=approx_top_k, seen_mask=None, **sp_m)
+            else:
+                new_tok = jnp.argmax(logits, -1).astype(jnp.int32)  # [b]
             tok = jnp.where(t < M,
                             jax.lax.dynamic_index_in_dim(
                                 init_toks, m0, 0, keepdims=False),
-                            sampled)
-            emitted = jnp.where(t >= stages, sampled, -1)
+                            new_tok)
+            emitted = jnp.where(t >= stages, new_tok, -1)
             x0 = jnp.take(params_l["embed"], tok, axis=0)[:, None, :]
             x_in = jnp.where(sid == 0, x0, x)
 
@@ -271,15 +295,16 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
         ys = jax.lax.psum(jnp.where(sid == 0, ys, 0), STAGE_AXIS)
         return ys, cache_l
 
+    extra = (P(), P()) if sampled else ()
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(pspec, P(), P(), cspec),
+        in_specs=(pspec, P(), P(), cspec) + extra,
         out_specs=(P(), cspec),
         check_vma=False,
     )
 
-    def wrapped(params_s, init_toks, init_pos, cache_s):
-        ys, cache_s = fn(params_s, init_toks, init_pos, cache_s)
+    def wrapped(params_s, init_toks, init_pos, cache_s, *rest):
+        ys, cache_s = fn(params_s, init_toks, init_pos, cache_s, *rest)
         # tick S + k·M + m completed token k of microbatch m
         idx = stages + jnp.arange(steps)[:, None] * M + jnp.arange(M)[None, :]
         return ys[idx], cache_s

@@ -237,3 +237,58 @@ def test_pp_fifo_scheduler_serves_waves(devices8):
         pp.submit(Request(request_id=rid, prompt=p, max_new_tokens=6))
     got.update({f.request_id: f.token_ids for f in pp.run_to_completion()})
     assert got == ref, (got, ref)
+
+
+def test_pp_1f1b_sampled_waves(devices8):
+    """In-pipeline sampling (ROADMAP #9): an aligned full-batch wave with
+    MIXED per-row sampling (greedy + stochastic rows, no penalties) rides
+    the 1F1B pipeline with sample_rows running on stage 0 between hops.
+    Greedy rows must stay token-identical to the single-device greedy
+    scheduler (sample_rows greedy rows take the exact argmax regardless
+    of the key schedule); the run must be deterministic per seed; and the
+    sampled-1F1B jit entry must actually have been used."""
+    from qwen_inference_engine_tpu.engine.pp_scheduler import PPFifoScheduler
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    stoch = SamplingParams(temperature=0.9, top_k=20)
+    # same-length prompts => aligned wave
+    prompts = {i: [10 + i, 20 + i, 30 + i, 40 + i] for i in range(4)}
+    sampling_of = {0: greedy, 1: stoch, 2: greedy, 3: stoch}
+
+    ref_cb = ContinuousBatchingEngine(
+        cfg, params, max_slots=4, page_size=8, num_pages=64,
+        max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+        prefix_cache=False)
+    for rid in (0, 2):
+        ref_cb.submit(Request(request_id=rid, prompt=prompts[rid],
+                              max_new_tokens=6))
+    ref = {f.request_id: f.token_ids for f in ref_cb.run_to_completion()}
+
+    def run():
+        mesh = make_pp_mesh(devices=devices8[:4])
+        pp = PPFifoScheduler(cfg, params, mesh=mesh, max_batch=4,
+                             max_seq=64, kv_dtype=jnp.float32,
+                             sampling=greedy, seed=7)
+        for rid, p in prompts.items():
+            pp.submit(Request(request_id=rid, prompt=p, max_new_tokens=6,
+                              sampling=sampling_of[rid]))
+        got = {f.request_id: f.token_ids for f in pp.run_to_completion()}
+        used_sampled_1f1b = any(
+            k[0] == "pp_1f1b" and k[2] for k in pp._jit_cache)
+        return got, used_sampled_1f1b
+
+    got1, used1 = run()
+    got2, used2 = run()
+    assert used1 and used2, "sampled 1F1B path did not engage"
+    assert got1 == got2, "sampled wave must be deterministic per seed"
+    for rid in (0, 2):
+        assert got1[rid] == ref[rid], (rid, got1[rid], ref[rid])
+    for rid in (1, 3):
+        assert len(got1[rid]) >= 1
