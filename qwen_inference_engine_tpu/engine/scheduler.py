@@ -1447,6 +1447,52 @@ class ContinuousBatchingEngine:
         self._seq_lens[free_slot] = len(req.prompt)
         return True
 
+    def _jit_ep_prefill_batch(self, T: int):
+        key = ("ep_piece_batch", T)
+        if key not in self._jit_cache:
+            from qwen_inference_engine_tpu.parallel.ep_step import (
+                make_ep_prefill_batch_fn,
+            )
+
+            self._jit_cache[key] = jax.jit(make_ep_prefill_batch_fn(
+                self.cfg, self.mesh, self.params, self._cache_template(),
+                T=T, use_pallas=self.use_pallas), donate_argnums=(3,))
+        return self._jit_cache[key]
+
+    def _ep_prefill_batch_tick(self, prefilling) -> bool:
+        """Advance up to one INTERIOR prefill piece per EP shard in a
+        single sharded forward. Returns True if >= 2 pieces advanced
+        (a single candidate stays on the replicated single-slot path)."""
+        ep = dict(self.mesh.shape).get("ep", 1)
+        sps = self.max_slots // ep
+        chunk = self.prefill_chunk
+        cand: Dict[int, _Running] = {}
+        for s in sorted(prefilling, key=lambda r: r.admit_seq):
+            # interior pieces only: exactly `chunk` tokens, no sampling
+            if len(s.request.prompt) - s.prefilled <= chunk:
+                continue
+            cand.setdefault(s.slot // sps, s)
+        if len(cand) < 2:
+            return False
+        tokens = np.zeros((ep, chunk), np.int32)
+        start = np.zeros((ep,), np.int32)
+        tables = np.zeros((ep, self._block_tables.shape[1]), np.int32)
+        active = np.zeros((ep,), bool)
+        for owner, s in cand.items():
+            tokens[owner] = s.request.prompt[s.prefilled:s.prefilled + chunk]
+            start[owner] = s.prefilled
+            tables[owner] = self._block_tables[s.slot]
+            active[owner] = True
+        fn = self._jit_ep_prefill_batch(chunk)
+        self.cache = fn(self.params, jnp.asarray(tokens),
+                        jnp.asarray(start), self.cache,
+                        jnp.asarray(tables), jnp.asarray(active))
+        for s in cand.values():
+            s.prefilled += chunk
+            self.metrics.observe_prefill(chunk)
+        self._step_count += 1
+        return True
+
     def _prefill_tick(self, run: _Running) -> None:
         """Advance ``run``'s prefill by one chunk (bounded work per tick —
         a long prompt cannot stall active decodes for more than one chunk's
@@ -1537,7 +1583,21 @@ class ContinuousBatchingEngine:
         prefilling = [s for s in self._slots
                       if s is not None and not s.prefill_done]
         decoding = [s for s in self._slots if s is not None and s.prefill_done]
-        if prefilling:
+        did_batch = False
+        if prefilling and self._ep_step:
+            # EP: advance INTERIOR pieces one-per-owner-shard in a single
+            # forward (the single-slot path computes each piece replicated
+            # on all shards — ep x redundant admission)
+            if decoding:
+                did_batch = self._ep_prefill_batch_tick(prefilling)
+            else:
+                while self._ep_prefill_batch_tick(
+                        [s for s in self._slots
+                         if s is not None and not s.prefill_done]):
+                    pass
+            prefilling = [s for s in self._slots
+                          if s is not None and not s.prefill_done]
+        if prefilling and not did_batch:
             # oldest ADMITTED first (slot index is reuse order, not age:
             # a new request in a freed low slot must not preempt an
             # in-flight prefill in a higher slot)
@@ -1549,8 +1609,8 @@ class ContinuousBatchingEngine:
                     self._prefill_tick(target)
                     if self._slots[target.slot] is not target:
                         break                       # finished at first token
-            decoding = [s for s in self._slots
-                        if s is not None and s.prefill_done]
+        decoding = [s for s in self._slots
+                    if s is not None and s.prefill_done]
 
         # --- one fused decode step across all decoding slots ---
         if decoding and self.speculative and self._model_draft:

@@ -153,7 +153,15 @@ def make_ep_prefill_piece_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
             return cache_l
         idx = jnp.clip(nvalid - 1, 0, T - 1)
         h = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
-        return compute_logits(params_l, h, use_pallas), cache_l
+        logits = compute_logits(params_l, h, use_pallas)
+        # CONTINUATION pieces (first=False) read the slot's cache prefix,
+        # which exists only on the OWNER shard — the other shards computed
+        # on garbage prefixes, so the replicated out-spec must carry the
+        # owner's logits, not whichever shard's copy the runtime picks
+        # (first pieces are prefix-free and identical everywhere, where
+        # this select is a no-op)
+        logits = jax.lax.psum(jnp.where(owner, logits, 0), EP_AXIS)
+        return logits, cache_l
 
     out_specs = ((P(None, None), cspec) if last else cspec)
     return jax.shard_map(
@@ -190,5 +198,42 @@ def make_ep_verify_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
         in_specs=(pspec, P(EP_AXIS, None), P(EP_AXIS), cspec,
                   P(EP_AXIS, None)),
         out_specs=(P(EP_AXIS, None, None), cspec),
+        check_vma=False,
+    )
+
+
+def make_ep_prefill_batch_fn(cfg: ModelConfig, mesh: Mesh, params: dict,
+                             cache, *, T: int, use_pallas: bool = True,
+                             attn_impl: str = "auto"):
+    """INTERIOR prefill pieces batched ONE PER SHARD under the EP mesh.
+
+    The single-slot piece path computes every chunk replicated on all ep
+    shards (ep× redundant); here each shard advances the piece of a slot
+    it OWNS — tokens [ep, T] shard over the ep axis, so admission of ep
+    concurrent long prompts costs one forward instead of ep. Interior
+    pieces only (no sampling, exactly T tokens); first/last pieces stay
+    on make_ep_prefill_piece_fn. Inactive shards ride along with a
+    masked write (``active`` [ep] bool).
+
+    Returns ``fn(params, tokens [ep, T], start [ep], cache,
+    tables [ep, max_pages], active [ep]) -> cache``."""
+    pspec = ep_param_pspecs(params)
+    cspec = ep_cache_pspecs(cache)
+
+    def body(params_l, tokens_l, start_l, cache_l, tables_l, active_l):
+        positions = start_l[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        _, cache_new = forward_hidden(
+            params_l, cfg, tokens_l, positions, cache_l,
+            block_tables=tables_l, fresh_prefill=False,
+            use_pallas=use_pallas, attn_impl=attn_impl, ep_axis=EP_AXIS)
+        return jax.tree.map(
+            lambda new, old: jnp.where(active_l[0], new, old),
+            cache_new, cache_l)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P(EP_AXIS, None), P(EP_AXIS), cspec,
+                  P(EP_AXIS, None), P(EP_AXIS)),
+        out_specs=cspec,
         check_vma=False,
     )

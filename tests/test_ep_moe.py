@@ -337,3 +337,51 @@ def test_scheduler_ep_serving_speculative_matches_plain():
     # accepted drafts (>1 token per verify forward on average)
     assert snap["spec_rounds"] > 0
     assert snap["spec_tokens_per_forward"] > 1.0, snap
+
+
+def test_scheduler_ep_batched_prefill_matches_single_device():
+    """Interior prefill pieces batched one-per-shard under the EP mesh
+    (make_ep_prefill_batch_fn): long prompts admitted concurrently must
+    produce token-identical greedy output to the single-device scheduler,
+    and the batched path must actually engage."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    # all prompts LONGER than prefill_chunk=8 -> interior pieces exist
+    # on all four slots concurrently
+    prompts = {i: [(7 * i + j) % 300 + 1 for j in range(21 + 3 * i)]
+               for i in range(4)}
+
+    def run(mesh, p):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=4, page_size=8, num_pages=96,
+            max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+            prefix_cache=False, prefill_chunk=8)
+        for rid, pr in prompts.items():
+            cb.submit(Request(request_id=rid, prompt=pr, max_new_tokens=5))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        cb.check_page_invariants()
+        used_batch = any(k[0] == "ep_piece_batch" for k in cb._jit_cache)
+        return out, used_batch
+
+    ref, _ = run(None, params)
+    mesh = make_ep_mesh(ep)
+    got, used_batch = run(mesh, shard_for_ep(params, mesh))
+    assert used_batch, "batched EP prefill path did not engage"
+    assert got == ref, (got, ref)
