@@ -1678,6 +1678,27 @@ class ContinuousBatchingEngine:
                        and all(s is None or s.prefill_done
                                for s in self._slots)
                        and any(s is not None for s in self._slots))
+        if not pure_decode and n > 1 and not self._pending \
+                and not self.speculative and not self._ep_step:
+            # MIXED chain: one admit-order target's INTERIOR prefill
+            # pieces need no host decisions (sizes are deterministic, no
+            # sampling), so they interleave with chained decode ticks
+            # under the same single end-of-window sync — the arrival-
+            # heavy regime otherwise pays one RTT per token while any
+            # slot is mid-prefill (ROADMAP #6 remainder). Last pieces
+            # (they sample + finish) and admissions stay on step().
+            prefilling = [s for s in self._slots
+                          if s is not None and not s.prefill_done]
+            decoding = [s for s in self._slots
+                        if s is not None and s.prefill_done]
+            if prefilling and decoding:
+                target = min(prefilling, key=lambda s: s.admit_seq)
+                interior = (len(target.request.prompt) - target.prefilled
+                            - 1) // self.prefill_chunk
+                if interior >= 1:
+                    self._expire_deadlines()
+                    return self._mixed_chain_batch(
+                        min(n, interior), decoding, target)
         if not pure_decode or n <= 1:
             return self.step()
         self._expire_deadlines()
@@ -1739,6 +1760,81 @@ class ContinuousBatchingEngine:
                 if _is_stop(tok, self._eos, s):
                     # roll back the ticks this row ran past its EOS; its
                     # pages are freed wholesale so the stale KV is gone
+                    self._finish(s, "eos")
+                    break
+                if len(s.generated) >= s.request.max_new_tokens:
+                    self._finish(s, "length")
+                    break
+        self.metrics.observe_decode(kept, elapsed)
+        return self._drain_finished()
+
+    def _mixed_chain_batch(self, n: int, decoding: List[_Running],
+                           target: _Running) -> List[FinishedRequest]:
+        """``n`` [interior prefill piece + decode tick] pairs chained on
+        device with ONE host sync. The rkey/_step_count sequence matches
+        n consecutive ``step()`` calls exactly (piece increments, then
+        decode increments), so outputs are token-identical to unchained
+        serving — stochastic rows included."""
+        chunk = self.prefill_chunk
+        prompt = target.request.prompt
+        sp = target.request.sampling or self.sampling
+        n = max(1, min([n] + [s.request.max_new_tokens - len(s.generated)
+                              for s in decoding]))
+        t0 = time.perf_counter()
+        toks = np.zeros((self.max_slots,), np.int32)
+        pos0 = np.zeros((self.max_slots,), np.int32)
+        tables = np.zeros_like(self._block_tables)
+        for s in decoding:
+            toks[s.slot] = s.last_token
+            pos0[s.slot] = s.seq_len
+            tables[s.slot] = self._block_tables[s.slot]
+        active_d = self._active_mask(decoding)
+        dec = self._jit_decode()
+        tables_d = jnp.asarray(tables)
+        sp_rows = self._sp_dyn_rows()
+        sp_one = self._sp_dyn_one(sp)
+        tgt_table = jnp.asarray(
+            self._block_tables[target.slot:target.slot + 1])
+        rkey_piece = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                        target.request.request_id)
+        nxt = jnp.asarray(toks)
+        cols = []
+        for i in range(n):
+            start = target.prefilled
+            piece_fn = self._jit_prefill_piece(chunk, first=(start == 0),
+                                               last=False)
+            tokens = np.asarray(prompt[start:start + chunk],
+                                np.int32)[None]
+            _, self.cache, self._seen = piece_fn(
+                self.params, jnp.asarray(tokens), jnp.int32(start),
+                jnp.asarray([chunk], np.int32), self.cache, tgt_table,
+                rkey_piece, sp_one, self._seen, jnp.int32(target.slot))
+            target.prefilled = start + chunk
+            self.metrics.observe_prefill(chunk)
+            self._step_count += 1
+
+            rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                      100_000 + self._step_count)
+            nxt, self.cache, self._seen = dec(
+                self.params, nxt, jnp.asarray(pos0) + i, self.cache,
+                tables_d, rkey, sp_rows, self._seen, active_d,
+            )
+            self._step_count += 1
+            cols.append(nxt)
+        mat = np.asarray(jnp.stack(cols, 0))  # ONE sync for n pairs
+        elapsed = time.perf_counter() - t0
+        kept = 0
+        for s in decoding:
+            for i in range(n):
+                tok = int(mat[i, s.slot])
+                s.seq_len += 1
+                self._seq_lens[s.slot] = s.seq_len
+                s.generated.append(tok)
+                s.last_token = tok
+                kept += 1
+                if self.on_token is not None:
+                    self.on_token(s.request.request_id, tok)
+                if _is_stop(tok, self._eos, s):
                     self._finish(s, "eos")
                     break
                 if len(s.generated) >= s.request.max_new_tokens:

@@ -899,3 +899,56 @@ def test_per_request_stop_token_ids():
     out = cb.run_to_completion()[0]
     assert out.finish_reason == "eos"
     assert out.token_ids == full[:3], (out.token_ids, full)
+
+
+def test_mixed_chain_batch_matches_per_tick_step():
+    """step_batch with a slot MID-PREFILL (interior pieces) chains
+    [piece + decode] pairs on device with one sync; outputs must be
+    token-identical to per-tick step() serving — stochastic rows
+    included (the rkey/_step_count sequence matches exactly). The long
+    prompt has several interior chunks so the mixed-chain path engages
+    for multiple windows."""
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    long_prompt = [(3 * j) % 200 + 1 for j in range(40)]
+    shorts = [[5, 9, 17, 3], [7, 8, 9]]
+    stoch = SamplingParams(temperature=0.8, top_k=30)
+
+    def build():
+        cb = ContinuousBatchingEngine(
+            CFG, PARAMS, max_slots=3, page_size=8, num_pages=96,
+            max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+            prefill_chunk=8, seed=11,
+        )
+        for i, p in enumerate(shorts):
+            cb.submit(Request(request_id=i, prompt=p, max_new_tokens=24,
+                              sampling=stoch if i == 1 else None))
+        # decodes start first; the long prompt arrives once they run
+        for _ in range(3):
+            cb.step()
+        cb.submit(Request(request_id=9, prompt=long_prompt,
+                          max_new_tokens=4))
+        return cb
+
+    ref_cb = build()
+    ref = {}
+    while ref_cb.has_work():
+        for f in ref_cb.step():
+            ref[f.request_id] = f.token_ids
+    for f in ref_cb.run_to_completion():
+        ref[f.request_id] = f.token_ids
+
+    got_cb = build()
+    calls = []
+    orig = got_cb._mixed_chain_batch
+    got_cb._mixed_chain_batch = lambda n, d, t: (calls.append(n)
+                                                 or orig(n, d, t))
+    got = {}
+    while got_cb.has_work():
+        for f in got_cb.step_batch(4):
+            got[f.request_id] = f.token_ids
+    for f in got_cb.run_to_completion():
+        got[f.request_id] = f.token_ids
+    got_cb.check_page_invariants()
+    assert calls and max(calls) >= 2, calls  # multi-pair windows ran
+    assert got == ref, (got, ref)
