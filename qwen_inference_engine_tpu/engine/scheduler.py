@@ -219,12 +219,16 @@ class ContinuousBatchingEngine:
                             "shard only holds KV for its own slots, so "
                             "pages cannot be shared across shards")
                         prefix_cache = False
-                    if speculative and draft_params is not None:
+                    if (speculative and draft_params is not None
+                            and draft_cfg is not None and draft_cfg.is_moe):
+                        # a DENSE drafter runs per-shard under the EP mesh
+                        # (make_ep_spec_model_fn); an MoE drafter would
+                        # need its own all-to-all plumbing — downgrade
                         import warnings
 
                         warnings.warn(
-                            "draft-model speculation has no EP drafter "
-                            "path yet; using prompt-lookup drafts")
+                            "MoE draft models are not supported under the "
+                            "EP mesh; using prompt-lookup drafts")
                         draft_params = None
                         draft_cfg = None
                 else:
@@ -304,7 +308,15 @@ class ContinuousBatchingEngine:
                 draft_cfg.num_layers, num_pages, page_size,
                 draft_cfg.num_kv_heads, draft_cfg.head_dim, dtype=kv_dtype,
             )
-            self.draft_cache = make_sharded_cache(dcache, mesh)
+            if self._ep_step:
+                from jax.sharding import NamedSharding, PartitionSpec as _P
+
+                self.draft_cache = jax.tree.map(
+                    lambda leaf: None if leaf is None else jax.device_put(
+                        leaf, NamedSharding(mesh, _P())),
+                    dcache, is_leaf=lambda x: x is None)
+            else:
+                self.draft_cache = make_sharded_cache(dcache, mesh)
         else:
             self.draft_cache = None
         # device history buffer for CHAINED prompt-lookup speculation
@@ -684,11 +696,25 @@ class ContinuousBatchingEngine:
                     cfg, dcfg, self.mesh, self.params, self.draft_params,
                     self._cache_template(), self._draft_cache_template(),
                     k=k)
+            ep_spec = None
+            if self._ep_step:
+                from qwen_inference_engine_tpu.parallel.ep_step import (
+                    make_ep_spec_model_fn,
+                )
+
+                ep_spec = make_ep_spec_model_fn(
+                    cfg, dcfg, self.mesh, self.params, self.draft_params,
+                    self._cache_template(), self._draft_cache_template(),
+                    k=k, use_pallas=use_pallas)
 
             def fn(params, dparams, tok_prev, tok_last, pos0, cache, dcache,
                    tables, rkey, sp_dyn, seen, active):
                 if tp_spec is not None:
                     logits, cache, dcache, drafts = tp_spec(
+                        params, dparams, tok_prev, tok_last, pos0, cache,
+                        dcache, tables)
+                elif ep_spec is not None:
+                    logits, cache, dcache, drafts = ep_spec(
                         params, dparams, tok_prev, tok_last, pos0, cache,
                         dcache, tables)
                 else:

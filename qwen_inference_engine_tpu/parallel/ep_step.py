@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qwen_inference_engine_tpu.config import ModelConfig
 from qwen_inference_engine_tpu.models.qwen import (
     compute_logits,
+    decode_step,
     forward_hidden,
 )
 
@@ -198,6 +199,71 @@ def make_ep_verify_fn(cfg: ModelConfig, mesh: Mesh, params: dict, cache,
         in_specs=(pspec, P(EP_AXIS, None), P(EP_AXIS), cspec,
                   P(EP_AXIS, None)),
         out_specs=(P(EP_AXIS, None, None), cspec),
+        check_vma=False,
+    )
+
+
+def make_ep_spec_model_fn(cfg: ModelConfig, dcfg: ModelConfig, mesh: Mesh,
+                          params: dict, dparams: dict, cache, dcache,
+                          *, k: int, use_pallas: bool = True,
+                          attn_impl: str = "auto"):
+    """Fused draft-model speculation round under the EP mesh: a DENSE
+    drafter's k+1 greedy decode steps feed the MoE target's T=k+1 verify
+    forward inside one shard_map dispatch — the expert-parallel analogue
+    of tp_step.make_tp_spec_model_fn (closes ROADMAP #8's remaining
+    downgrade: draft-model speculation no longer falls back to
+    prompt-lookup on EP meshes).
+
+    Layout: slots sharded over the ep axis for BOTH models (the drafter
+    is dense, so its weights replicate and each shard drafts for its own
+    slots entirely locally — no collective until the target's MoE
+    all-to-all); drafter page pool is replicated-structure /
+    divergent-content exactly like the target's. Requires a dense
+    drafter (``not dcfg.is_moe``): an MoE drafter would need its own
+    all-to-all plumbing and real Qwen drafter pairs are dense (0.5B).
+
+    Returns ``fn(params, dparams, tok_prev, tok_last, pos0, cache,
+    dcache, tables) -> (logits [B,T,V] batch-sharded, cache, dcache,
+    drafts [B,k])``; chain acceptance runs outside on the global logits
+    (engine/scheduler._accept_chain), mirroring make_ep_verify_fn."""
+    assert not dcfg.is_moe, "EP drafter must be a dense model"
+    pspec = ep_param_pspecs(params)
+    dpspec = ep_param_pspecs(dparams)   # dense drafter: all replicated
+    cspec = ep_cache_pspecs(cache)
+    dcspec = ep_cache_pspecs(dcache)
+
+    def body(params_l, dparams_l, tok_prev, tok_last, pos0, cache_l,
+             dcache_l, tables_l):
+        def dstep(carry, i):
+            cur, dc = carry
+            tok_in = jnp.where(i == 0, tok_prev,
+                               jnp.where(i == 1, tok_last, cur))
+            logits, dc = decode_step(
+                dparams_l, dcfg, tok_in, pos0 - 1 + i, dc,
+                block_tables=tables_l, use_pallas=use_pallas,
+                attn_impl=attn_impl)
+            cur = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (cur, dc), cur
+
+        (_, dcache_l), ys = jax.lax.scan(
+            dstep, (tok_last, dcache_l), jnp.arange(k + 1, dtype=jnp.int32))
+        drafts = ys[1:].T                              # [B, k]
+        tokens = jnp.concatenate([tok_last[:, None], drafts], axis=1)
+        positions = pos0[:, None] + jnp.arange(k + 1,
+                                               dtype=jnp.int32)[None, :]
+        hidden, cache_l = forward_hidden(
+            params_l, cfg, tokens, positions, cache_l,
+            block_tables=tables_l, fresh_prefill=False, ragged_multi=True,
+            use_pallas=use_pallas, attn_impl=attn_impl, ep_axis=EP_AXIS)
+        logits = compute_logits(params_l, hidden, use_pallas)
+        return logits, cache_l, dcache_l, drafts
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, dpspec, P(EP_AXIS), P(EP_AXIS), P(EP_AXIS),
+                  cspec, dcspec, P(EP_AXIS, None)),
+        out_specs=(P(EP_AXIS, None, None), cspec, dcspec,
+                   P(EP_AXIS, None)),
         check_vma=False,
     )
 

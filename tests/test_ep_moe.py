@@ -385,3 +385,96 @@ def test_scheduler_ep_batched_prefill_matches_single_device():
     got, used_batch = run(mesh, shard_for_ep(params, mesh))
     assert used_batch, "batched EP prefill path did not engage"
     assert got == ref, (got, ref)
+
+
+def test_scheduler_ep_draft_model_spec_matches_single_device():
+    """DRAFT-MODEL speculation under the EP mesh (make_ep_spec_model_fn):
+    a DENSE drafter's chain runs per-shard inside the same shard_map
+    round as the MoE target's verify forward (slots sharded over ep, the
+    drafter entirely local per shard). Greedy outputs must be
+    token-identical to the single-device non-speculative scheduler —
+    speculation is exact regardless of drafter quality — and the
+    draft-model path must actually engage (closes ROADMAP #8's remaining
+    PLD downgrade)."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    dcfg = tiny_config(num_layers=1, hidden_size=64, num_heads=2,
+                       num_kv_heads=2, head_dim=16)   # dense drafter
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    dparams = init_params(dcfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    greedy = SamplingParams(greedy=True)
+    prompts = {0: [5, 9, 17, 3] * 3, 1: [7, 8, 9], 2: list(range(40, 52)),
+               3: [100, 200, 300, 400]}
+
+    def run(mesh, p, dp):
+        cb = ContinuousBatchingEngine(
+            cfg, p, mesh=mesh, max_slots=4, page_size=8, num_pages=64,
+            max_pages_per_seq=8, sampling=greedy, kv_dtype=jnp.float32,
+            prefix_cache=False, speculative=dp is not None, spec_k=3,
+            draft_params=dp, draft_cfg=dcfg if dp is not None else None)
+        if mesh is not None:
+            assert cb._ep_step, "EP serving path did not engage"
+            assert cb._model_draft, "EP draft-model path did not engage"
+        for rid, pr in prompts.items():
+            cb.submit(Request(request_id=rid, prompt=pr, max_new_tokens=8))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        cb.check_page_invariants()
+        return out, cb.metrics.snapshot()
+
+    ref, _ = run(None, params, None)
+    mesh = make_ep_mesh(ep)
+    got, snap = run(mesh, shard_for_ep(params, mesh),
+                    shard_for_ep(dparams, mesh))
+    assert got == ref, (got, ref)
+    assert snap["spec_rounds"] > 0
+
+
+def test_scheduler_ep_moe_draft_model_downgrades_to_pld():
+    """An MoE DRAFTER under the EP mesh has no all-to-all plumbing:
+    construction must warn and downgrade to prompt-lookup drafts rather
+    than engage the model-draft path."""
+    ep = 4
+    if len(jax.devices()) < ep:
+        pytest.skip("needs virtual device mesh")
+    import warnings as _w
+
+    from qwen_inference_engine_tpu.config import tiny_config
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+    )
+    from qwen_inference_engine_tpu.models.qwen import init_params
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+    from qwen_inference_engine_tpu.parallel.ep_step import (
+        make_ep_mesh,
+        shard_for_ep,
+    )
+
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    mesh = make_ep_mesh(ep)
+    ps = shard_for_ep(params, mesh)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cb = ContinuousBatchingEngine(
+            cfg, ps, mesh=mesh, max_slots=4, page_size=8, num_pages=64,
+            max_pages_per_seq=8, sampling=SamplingParams(greedy=True),
+            kv_dtype=jnp.float32, prefix_cache=False, speculative=True,
+            spec_k=3, draft_params=ps, draft_cfg=cfg)
+    assert not cb._model_draft
+    assert any("MoE draft models" in str(w.message) for w in rec)
