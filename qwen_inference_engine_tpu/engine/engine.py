@@ -325,10 +325,14 @@ class Engine:
 
         t1 = time.perf_counter()
         steps = 0
-        # tokens stay on device; EOS is polled every eos_every steps so the
-        # host never blocks the per-token critical path (a value fetch costs
-        # a full RTT through remote-device transports).
-        eos_every = 16
+        # tokens stay on device; EOS is polled on an ADAPTIVE cadence so
+        # the host never blocks the per-token critical path (a value fetch
+        # costs a full RTT through remote-device transports): early polls
+        # are dense to catch short answers with few wasted decode steps,
+        # then the interval doubles to a 64-step steady state so long
+        # generations pay ~RTT/64 per token instead of the fixed RTT/16.
+        eos_every = 4
+        next_poll = eos_every
         for step in range(1, max_new_tokens):
             pos = lens_d + step - 1
             key = jax.random.fold_in(base_key, step)
@@ -336,8 +340,11 @@ class Engine:
                                          sp_dyn, seen, done)
             out_cols.append(tok)
             steps += 1
-            if step % eos_every == 0 and bool(np.asarray(jnp.all(done))):
-                break
+            if step >= next_poll:
+                if bool(np.asarray(jnp.all(done))):
+                    break
+                eos_every = min(eos_every * 2, 64)
+                next_poll = step + eos_every
         mat_d = jnp.stack(out_cols, axis=1)
         mat_np = np.asarray(mat_d)  # single sync for the whole generation
         dt = max(time.perf_counter() - t1, 1e-9)

@@ -382,8 +382,8 @@ def fused_attn_mlp(lens, layer_a, layer_m, q8, k_cache, v_cache, x,
         in_specs=[
             pl.BlockSpec((Ba, Hk, G8, D),
                          lambda c, *_: (0, 0, 0, 0)),          # q (whole)
-            pl.BlockSpec(memory_space=pltpu.ANY),              # k_cache
-            pl.BlockSpec(memory_space=pltpu.ANY),              # v_cache
+            pl.BlockSpec(memory_space=pl.ANY),                 # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),                 # v_cache
             pl.BlockSpec((2, m, k // 2), const),               # x planes
             pl.BlockSpec((1, k // 2, bn), w_col),              # wg
             pl.BlockSpec((1, k // 2, bn), w_col),              # wu
