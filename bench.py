@@ -1,20 +1,24 @@
 """Headline benchmark: decode tokens/s/chip, Qwen2.5-7B INT4 weight-only.
 
-Prints one JSON line per measured config (the FIRST line is the headline):
+Prints one JSON line per measured config.  The LAST line is the headline
+(the BASELINE.md north-star config, marked ``"target_row": true``) so a
+last-line parse records the target config, not a supporting row:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
 
 ``vs_baseline`` is measured throughput divided by the BASELINE.md target
 (85% of the HBM-bandwidth roofline for this chip/model/batch/context —
 the reference repo publishes no numbers of its own, SURVEY.md §6, so the
 driver's north-star target is the baseline).  vs_baseline ≥ 1.0 means the
-target is met.
+target is met.  Speculative rows measure a DIFFERENT ratio — speedup over
+the same workload served non-speculatively — and carry it under
+``vs_plain`` (no ``vs_baseline`` key: one key, one semantics).
 
 Extra lines (both gated off in BENCH_SMALL / by env):
   * the best ABSOLUTE-throughput config (b128×1408, INT8 KV) — tracks raw
     tok/s alongside the headline's %%-of-roofline config (BENCH_ABS=0 to
     skip),
   * the speculative-serving config (paged scheduler, prompt-lookup drafts
-    on a repetitive workload) — its vs_baseline is the speedup over the
+    on a repetitive workload) — its vs_plain is the speedup over the
     SAME workload served non-speculatively (BENCH_SPEC=0 to skip),
   * the INT8 weight-only decode row (b64 x 1408, bf16 KV) — the
     execution-efficiency point where the matmul phase is stream-bound
@@ -284,7 +288,7 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
     accept, and the acceptance-EMA policy has to keep the batch from
     losing to plain chained decode.
 
-    Returns the metric dict with vs_baseline = speedup over the
+    Returns the metric dict with vs_plain = speedup over the
     non-speculative scheduler on the same workload."""
     from qwen_inference_engine_tpu.engine.scheduler import (
         ContinuousBatchingEngine,
@@ -396,7 +400,10 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
                   + ("_mixed" if workload == "mixed" else ""),
         "value": round(results["spec"][0], 2),
         "unit": "tok/s",
-        "vs_baseline": round(speedup, 4),
+        # spec-vs-plain speedup on the SAME workload — deliberately NOT
+        # vs_baseline (a roofline ratio on every other row; VERDICT r4
+        # weak #4: one key must not carry two semantics)
+        "vs_plain": round(speedup, 4),
         "tok_per_forward": round(tpf, 3),
         "plain_tok_per_s": round(results["plain"][0], 2),
     }
@@ -473,10 +480,14 @@ def main():
         log(f"params ready in {time.perf_counter()-t0:.1f}s; "
             f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
 
-        lines.append(run_decode_config(
+        headline = run_decode_config(
             cfg, params, batch=batch, steps=steps, prompt_len=prompt_len,
             bits=bits, kv_bits=kv_bits, warmup=warmup, chunk=chunk,
-            want_pumped=want_pumped))
+            want_pumped=want_pumped)
+        # the BASELINE.md north-star config: marked so the driver's
+        # last-line parse records THIS row (VERDICT r4 weak #2)
+        headline["target_row"] = True
+        lines.append(headline)
 
     if want_abs and not moe_only and not spec_only:
         # best ABSOLUTE tok/s point: bigger batch, INT8 KV (docs/PERF.md)
@@ -600,6 +611,10 @@ def main():
                 del moe_params
                 jax.clear_caches()
 
+    # measurement order is memory-driven (INT4 params first, freed for
+    # the INT8/MoE rows); EMISSION order puts the target row last so a
+    # last-line parse records the north-star config, not a supporting row
+    lines.sort(key=lambda d: bool(d.get("target_row")))
     for line in lines:
         print(json.dumps(line))
 

@@ -130,16 +130,17 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
     M = N * top_k                                        # pairs (= capacity)
-    flat_e = topi.reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(flat_e)                          # stable
-    tok = order // top_k
-    xs = jnp.take(h, tok, axis=0)                        # [M, D] sorted
-    eid_sorted = flat_e[order]
+    # layout math lives in ep_layout (pure, oracle-tested on CPU against
+    # a numpy simulation of the collective's semantics)
+    from qwen_inference_engine_tpu.parallel.ep_layout import (
+        combine_gather_indices,
+        dispatch_layout,
+        receive_layout,
+    )
 
-    counts = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-    send_sizes = counts.reshape(P, e_loc).sum(-1)        # [P]
-    input_offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(send_sizes)[:-1]])
+    order, tok, eid_sorted, send_sizes, input_offs = dispatch_layout(
+        topi, e_loc, P)
+    xs = jnp.take(h, tok, axis=0)                        # [M, D] sorted
 
     # tiny metadata exchange: every device's (send_sizes, input_offs)
     meta = jnp.stack([send_sizes, input_offs], 0)        # [2, P]
@@ -180,14 +181,9 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
                                   tiled=False).reshape(P * M, D + 1)
 
     # --- 3. compute on received tokens (sorted by local expert) ---
-    rr = jnp.arange(P * M, dtype=jnp.int32)
-    src = rr // M
-    valid = (rr - src * M) < recv_sizes[src]
-    eid_rx = jnp.where(valid, recv[:, D].astype(jnp.int32), e_loc)
-    order2 = jnp.argsort(eid_rx)                         # stable
+    valid, eid_rx, order2, gs2 = receive_layout(
+        recv[:, D], recv_sizes, M, e_loc)
     xs2 = jnp.take(recv[:, :D], order2, axis=0)
-    gs2 = jnp.bincount(jnp.where(valid, eid_rx, e_loc), length=e_loc + 1
-                       ).astype(jnp.int32)[:e_loc]
     y2 = _expert_compute(xs2, w_gate, w_up, w_down, gs2, use_quant_kernel,
                          layer=layer)
     y_rx = jnp.zeros((P * M, D), y2.dtype).at[order2].set(y2)
@@ -203,9 +199,9 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
         back = jax.lax.all_to_all(y_rx.reshape(P, M, D), axis, 0, 0,
                                   tiled=False).reshape(P * M, D)
         # back rows [p*M + i] = row i of my dispatch segment to peer p
-        r = jnp.arange(M, dtype=jnp.int32)
-        dst_r = eid_sorted // e_loc
-        y_sorted = jnp.take(back, dst_r * M + (r - input_offs[dst_r]), axis=0)
+        y_sorted = jnp.take(
+            back, combine_gather_indices(eid_sorted, input_offs, M, e_loc),
+            axis=0)
 
     w = jnp.take(topw.reshape(-1), order)[:, None].astype(y_sorted.dtype)
     out = jnp.zeros((N, D), y_sorted.dtype).at[tok].add(y_sorted * w)
