@@ -24,6 +24,9 @@ def main():
     p.add_argument("--model", default="tiny")
     p.add_argument("--bits", type=int, default=16, choices=(4, 8, 16))
     p.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
+    p.add_argument("--act-bits", type=int, default=0, choices=(0, 8),
+                   help="8 = per-token int8 activation quant in the block "
+                        "projections (W4A8/W8A8 integer MXU dots)")
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=16)
@@ -48,6 +51,11 @@ def main():
     if args.bits < 16:
         params = quantize_params(params, QuantConfig(bits=args.bits))
         print(f"quantized projections to INT{args.bits}")
+    if args.act_bits:
+        if args.bits == 16:
+            p.error("--act-bits requires --bits 4 or 8")
+        cfg = cfg.replace(act_bits=args.act_bits)
+        print(f"activation quant: A{args.act_bits} (integer MXU dots)")
     kv_dtype = jnp.int8 if args.kv_bits == 8 else jnp.bfloat16
     cache = KVCache.create(cfg.num_layers, args.batch, args.max_seq,
                            cfg.num_kv_heads, cfg.head_dim, dtype=kv_dtype)

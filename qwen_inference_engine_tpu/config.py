@@ -42,6 +42,12 @@ class ModelConfig:
     # <|im_end|> = 151645 is the reference's hardcoded stop id
     # (layers/src/qwen_main.cu:257); <|endoftext|> = 151643 also terminates.
     eos_token_ids: tuple = (151645, 151643)
+    # Runtime quantization knob (not architecture): 8 quantizes activations
+    # per token in the transformer-block projections and runs integer MXU
+    # dots against int4/int8 weights (W4A8/W8A8 — ops/quant_matmul.py).
+    # 0 = bf16 activations (weight-only quant).  lm_head stays bf16-input
+    # either way (logit fidelity).
+    act_bits: int = 0
     # Qwen3-MoE (model_type qwen3_moe): num_experts == 0 means dense
     num_experts: int = 0
     num_experts_per_tok: int = 0

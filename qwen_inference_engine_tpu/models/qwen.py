@@ -521,7 +521,8 @@ def forward_hidden(
             "uniform_decode=True, supported head/seq shapes)")
     row0 = 0 if cache_row0 is None else cache_row0
     use_mlp_kernel = False
-    if want_kernels and not cfg.is_moe and "gate" in params["layers"]:
+    if (want_kernels and not cfg.is_moe and "gate" in params["layers"]
+            and cfg.act_bits != 8):  # fused_mlp has no int8-activation path
         from qwen_inference_engine_tpu.ops.fused_step import (
             fused_mlp_supported,
         )
@@ -556,14 +557,18 @@ def forward_hidden(
             # offline-fused projection (quantize.fuse_projections): one
             # kernel call instead of three
             Qd, Kd = Hq * Dh, Hk * Dh
-            qkv = apply_linear(h, layers_all["qkv"], use_pallas, layer=l)
+            qkv = apply_linear(h, layers_all["qkv"], use_pallas, layer=l,
+                               act_bits=cfg.act_bits)
             q = qkv[..., :Qd].reshape(B, T, Hq, Dh)
             k = qkv[..., Qd:Qd + Kd].reshape(B, T, Hk, Dh)
             v = qkv[..., Qd + Kd:].reshape(B, T, Hk, Dh)
         else:
-            q = apply_linear(h, layers_all["q"], use_pallas, layer=l).reshape(B, T, Hq, Dh)
-            k = apply_linear(h, layers_all["k"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
-            v = apply_linear(h, layers_all["v"], use_pallas, layer=l).reshape(B, T, Hk, Dh)
+            q = apply_linear(h, layers_all["q"], use_pallas, layer=l,
+                             act_bits=cfg.act_bits).reshape(B, T, Hq, Dh)
+            k = apply_linear(h, layers_all["k"], use_pallas, layer=l,
+                             act_bits=cfg.act_bits).reshape(B, T, Hk, Dh)
+            v = apply_linear(h, layers_all["v"], use_pallas, layer=l,
+                             act_bits=cfg.act_bits).reshape(B, T, Hk, Dh)
         if cfg.qk_norm:
             q = qk_norm(q, lp["q_norm"], eps)
             k = qk_norm(k, lp["k_norm"], eps)
@@ -840,7 +845,7 @@ def forward_hidden(
             attn = gqa_attention_kmajor(q, k_all, v_all, positions)
 
         o = apply_linear(attn.reshape(B, T, Hq * Dh), layers_all["o"],
-                         use_pallas, layer=l)
+                         use_pallas, layer=l, act_bits=cfg.act_bits)
         if reduce_axis is not None:
             # row-parallel o-proj: partial sums over the sharded head dim
             o = jax.lax.psum(o, reduce_axis)
@@ -890,16 +895,19 @@ def forward_hidden(
                           gs_gate=ga.group_size,
                           gs_down=da_.group_size).reshape(B, T, -1)
         elif "gateup" in layers_all:
-            gu = apply_linear(h, layers_all["gateup"], use_pallas, layer=l)
+            gu = apply_linear(h, layers_all["gateup"], use_pallas, layer=l,
+                              act_bits=cfg.act_bits)
             F2 = gu.shape[-1] // 2
             gate, up = gu[..., :F2], gu[..., F2:]
             d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
-                             use_pallas, layer=l)
+                             use_pallas, layer=l, act_bits=cfg.act_bits)
         else:
-            gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l)
-            up = apply_linear(h, layers_all["up"], use_pallas, layer=l)
+            gate = apply_linear(h, layers_all["gate"], use_pallas, layer=l,
+                                act_bits=cfg.act_bits)
+            up = apply_linear(h, layers_all["up"], use_pallas, layer=l,
+                              act_bits=cfg.act_bits)
             d = apply_linear(jax.nn.silu(gate) * up, layers_all["down"],
-                             use_pallas, layer=l)
+                             use_pallas, layer=l, act_bits=cfg.act_bits)
         if reduce_axis is not None and not cfg.is_moe:
             # row-parallel down-proj: partials over the sharded FFN dim
             # (moe_mlp psums its expert-sharded combine internally)

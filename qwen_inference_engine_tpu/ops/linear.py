@@ -124,12 +124,18 @@ def dequantize(lin: QuantLinear) -> jax.Array:
     return w.reshape(*lead, k, n).astype(jnp.bfloat16)
 
 
-def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
+def _quant_matmul_xla(x: jax.Array, lin: QuantLinear,
+                      act_bits: int = 0) -> jax.Array:
     """Pure-XLA fused dequant matmul.
 
     Contracts per group so XLA fuses the int→float cast and scale into the
     reduction without materializing the bf16 weight in HBM:
     ``y = sum_g (x_g @ q_g) * s_g`` with the scale applied per-group.
+
+    ``act_bits=8`` applies the same per-token activation quantization as
+    the Pallas W4A8/W8A8 kernels (ops/quant_matmul.py), so accuracy gates
+    for activation quant run on any backend with kernel-equivalent
+    numerics (int products are exact in f32 up to 2^24).
     """
     if lin.bits == 8:
         q = lin.q
@@ -141,22 +147,36 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear) -> jax.Array:
     lead = x.shape[:-1]
     if x.shape[-1] < k:  # quantizer-padded reduction axis (see quantize.py)
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k - x.shape[-1])])
+    out_dtype = x.dtype
+    sx = None
+    if act_bits == 8:
+        from qwen_inference_engine_tpu.ops.quant_matmul import (
+            quantize_activations,
+        )
+
+        x, sx = quantize_activations(x)
     xg = x.reshape(-1, groups, gs).astype(jnp.float32)
     qg = q.reshape(groups, gs, n).astype(jnp.float32)
     # fold scales into the weight operand; XLA fuses the multiply into the
     # contraction so no [m, groups, n] intermediate is materialized.
     wg = qg * lin.scales[:, None, :]
     y = jnp.einsum("mgk,gkn->mn", xg, wg, preferred_element_type=jnp.float32)
-    return y.reshape(*lead, n).astype(x.dtype)
+    if sx is not None:
+        y = y * sx.reshape(-1, 1)
+    return y.reshape(*lead, n).astype(out_dtype)
 
 
 def apply_linear(x: jax.Array, lin, use_pallas: bool = True,
-                 layer=None) -> jax.Array:
+                 layer=None, act_bits: int = 0) -> jax.Array:
     """``x [..., in] @ lin -> [..., out]`` for Linear or QuantLinear.
 
     For a layer-STACKED QuantLinear (q ``[L, K/pack, N]``) pass ``layer``
     (traced scalar): the Pallas kernel indexes the stacked weights directly
-    (no dynamic-slice copy inside a layer scan)."""
+    (no dynamic-slice copy inside a layer scan).
+
+    ``act_bits=8`` (QuantLinear only) quantizes activations per token and
+    runs integer MXU dots — W4A8/W8A8, see ops/quant_matmul.py.  Ignored
+    for bf16 ``Linear`` layers."""
     stacked = layer is not None
     if isinstance(lin, Linear):
         w = lin.w[layer] if stacked else lin.w
@@ -166,7 +186,7 @@ def apply_linear(x: jax.Array, lin, use_pallas: bool = True,
         if use_pallas and _pallas_available():
             from qwen_inference_engine_tpu.ops.quant_matmul import quant_matmul_pallas
 
-            y = quant_matmul_pallas(x, lin, layer=layer)
+            y = quant_matmul_pallas(x, lin, layer=layer, act_bits=act_bits)
         else:
             lin2 = lin
             if stacked:
@@ -174,7 +194,7 @@ def apply_linear(x: jax.Array, lin, use_pallas: bool = True,
 
                 lin2 = _dc.replace(lin, q=lin.q[layer],
                                    scales=lin.scales[layer], b=None)
-            y = _quant_matmul_xla(x, lin2)
+            y = _quant_matmul_xla(x, lin2, act_bits=act_bits)
     else:
         raise TypeError(f"not a linear: {type(lin)}")
     if lin.b is not None:

@@ -142,6 +142,207 @@ def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n,
 
 
 # ----------------------------------------------------------------------
+# W4A8: int8 activations x int4 plane-packed weights -> s8@s8 MXU dots.
+#
+# The v5e MXU runs int8 x int8 passes at ~2x the bf16 rate (probed by
+# scripts/probe_mixed_dot2.py; see docs/PERF.md round-5).  At decode the
+# INT4 matmul chain is PASS-bound, not byte-bound, so quantizing the
+# activations per token (one VPU absmax+scale pass, done outside the
+# kernel by ``quantize_activations``) halves the chain's floor.  The
+# plane-packed layout carries over unchanged: the lo plane's excess-8
+# offset becomes an integer rowsum correction (exact in i32), and the
+# per-row activation scale multiplies the accumulator once in the
+# epilogue.
+# ----------------------------------------------------------------------
+
+
+def quantize_activations(x: jax.Array):
+    """Per-row (= per-token) symmetric int8 quantization of ``x [..., K]``.
+
+    Returns ``(q int8 [..., K], scale f32 [..., 1])`` with
+    ``x ~= q * scale``.  One VPU pass over x — O(M*K) elementwise work,
+    negligible next to the matmuls it feeds."""
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return q, sx
+
+
+def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, sx_ref, o_ref,
+                    acc_ref, *, k_tiles, ppt, gs):
+    """INT4 plane-pair kernel, int8 activations: two s8@s8 -> i32 dots per
+    plane-pair; group scales applied to the i32 partials in f32; per-row
+    activation scale applied once in the epilogue."""
+    del layer_ref
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc = acc_ref[:]
+    for p in range(ppt):
+        sl = slice(p * gs, (p + 1) * gs)
+        b = q_ref[0, sl].astype(jnp.int32)
+        l8 = jnp.bitwise_and(b, 0xF)
+        lo8 = l8.astype(jnp.int8)                  # lo+8 in [0, 15]
+        hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+        xe = xe_ref[:, sl]                         # int8
+        pe = jax.lax.dot_general(xe, lo8, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        po = jax.lax.dot_general(xo_ref[:, sl], hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        # excess-8 correction, exact in i32: dot(x, lo+8) - 8*rowsum(x)
+        sxe = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True) * 8
+        acc = acc + ((pe - sxe).astype(jnp.float32) * s_ref[0, 0, p, 0:1, :]
+                     + po.astype(jnp.float32) * s_ref[0, 0, p, 1:2, :])
+    acc_ref[:] = acc
+
+    @pl.when(kt == k_tiles - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx_ref[:, 0:1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_n", "ppt"))
+def _quant_matmul4_a8(xe, xo, sx, q, scales, layer, *, group_size, block_m,
+                      block_n, ppt=1):
+    """W4A8 variant of ``_quant_matmul4``: xe/xo are the int8 parity planes
+    of the quantized activations, ``sx [M, 128]`` the per-row scale
+    (broadcast along lanes so the epilogue block is tile-aligned)."""
+    m = xe.shape[0]
+    L, _, n = q.shape
+    gs = group_size
+    k_tiles = xe.shape[1] // (gs * ppt)
+    scales5 = scales.reshape(L, k_tiles, ppt, 2, n)
+
+    kernel = functools.partial(_qmm4_a8_kernel, k_tiles=k_tiles, ppt=ppt,
+                               gs=gs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_m, n // block_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((block_m, ppt * gs), lambda mt, nt, kt, lr: (mt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, ppt * gs), lambda mt, nt, kt, lr: (mt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ppt * gs, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ppt, 2, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, 0, 0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 128), lambda mt, nt, kt, lr: (mt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda mt, nt, kt, lr: (mt, nt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    k = xe.shape[1] * 2
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + (k // 2) * n + (scales.size // L) * 4
+            + m * n * 2,
+            transcendentals=0,
+        ),
+    )(layer.reshape(1), xe, xo, q, scales5, sx)
+
+
+def _qmm8_a8_kernel(layer_ref, x_ref, q_ref, s_ref, sx_ref, o_ref, acc_ref,
+                    *, k_tiles, per_tile):
+    """INT8-weight kernel, int8 activations: one s8@s8 -> i32 dot per
+    k-tile; weight scale per tile (or epilogue), activation scale in the
+    epilogue."""
+    del layer_ref
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(x_ref[:], q_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    if per_tile:
+        acc_ref[:] += part.astype(jnp.float32) * s_ref[0, 0]
+    else:
+        acc_ref[:] += part.astype(jnp.float32)
+
+    @pl.when(kt == k_tiles - 1)
+    def _():
+        acc = acc_ref[:] * sx_ref[:, 0:1]
+        if not per_tile:
+            acc = acc * s_ref[0, 0]
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m",
+                                             "block_k", "block_n"))
+def _quant_matmul8_a8(x, sx, q, scales, layer, *, group_size, block_m,
+                      block_k, block_n):
+    m, k = x.shape
+    L, _, n = q.shape
+    groups = scales.shape[-2]
+    k_tiles = k // block_k
+    per_tile = groups > 1
+    if per_tile:
+        assert groups == k_tiles, (groups, k_tiles)
+        s3 = scales.reshape(L, k_tiles, 1, n)
+        s_spec = pl.BlockSpec((1, 1, 1, block_n),
+                              lambda mt, nt, kt, lr: (lr[0], kt, 0, nt),
+                              memory_space=pltpu.VMEM)
+    else:
+        s3 = scales.reshape(L, 1, 1, n)
+        s_spec = pl.BlockSpec((1, 1, 1, block_n),
+                              lambda mt, nt, kt, lr: (lr[0], 0, 0, nt),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_qmm8_a8_kernel, k_tiles=k_tiles,
+                               per_tile=per_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_m, n // block_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mt, nt, kt, lr: (mt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, block_n),
+                         lambda mt, nt, kt, lr: (lr[0], kt, nt),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+            pl.BlockSpec((block_m, 128), lambda mt, nt, kt, lr: (mt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda mt, nt, kt, lr: (mt, nt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + (scales.size // L) * 4
+            + m * n * 2,
+            transcendentals=0,
+        ),
+    )(layer.reshape(1), x, q, s3, sx)
+
+
+# ----------------------------------------------------------------------
 # INT8: single mixed dot per k-tile; scales per tile (gs == bk) or in the
 # epilogue (per-channel, gs == K)
 # ----------------------------------------------------------------------
@@ -275,7 +476,7 @@ def _pick_bm(m: int) -> int:
 
 
 def quant_matmul_pallas(x: jax.Array, lin, layer=None,
-                        block_override=None) -> jax.Array:
+                        block_override=None, act_bits: int = 0) -> jax.Array:
     """x [..., K] @ QuantLinear -> [..., N].
 
     ``lin`` may be a single layer (q ``[K/pack, N]``) or the whole stacked
@@ -283,6 +484,12 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
     kernel then reads layer blocks straight from the stacked array — inside
     a lax.scan over layers this avoids the per-iteration dynamic-slice that
     would otherwise copy every weight tensor every step.
+
+    ``act_bits=8`` quantizes the activations per token and runs s8@s8 MXU
+    dots (W4A8 / W8A8) — ~2x the bf16 pass rate on v5e, halving the
+    pass-bound decode matmul floor.  The XLA shape-fallback implements the
+    same numerics (linear._quant_matmul_xla), so accuracy gates run on any
+    backend.
 
     Falls back to the XLA path for shapes the kernel doesn't tile."""
     stacked = lin.q.ndim == 3
@@ -324,7 +531,7 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
 
             lin2 = _dc.replace(lin, q=lin.q[layer], scales=lin.scales[layer],
                                b=None)
-        return _linear._quant_matmul_xla(x, lin2)
+        return _linear._quant_matmul_xla(x, lin2, act_bits=act_bits)
 
     q3 = lin.q if stacked else lin.q[None]
     s3 = lin.scales if stacked else lin.scales[None]
@@ -333,14 +540,24 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
     x2 = x.reshape(m, k_x).astype(jnp.bfloat16)
     if m_pad != m or k != k_x:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, k - k_x)))
+    if act_bits == 8:
+        xq, sx = quantize_activations(x2)
+        sxb = jnp.broadcast_to(sx, (m_pad, 128))
     if lin.bits == 4:
         # shorten the serial k-tile accumulation chain for huge-K
         # projections by packing several plane-pairs into one tile
         ppt, kt = 1, k // (2 * gs)
         while kt > 20 and kt % 2 == 0 and ppt < 4:
             ppt, kt = ppt * 2, kt // 2
-        y = _quant_matmul4(x2, q3, s3, lidx, group_size=gs,
-                           block_m=bm, block_n=bn, ppt=ppt)
+        if act_bits == 8:
+            xm = xq.reshape(m_pad, k // (2 * gs), 2, gs)
+            xe = xm[:, :, 0, :].reshape(m_pad, k // 2)
+            xo = xm[:, :, 1, :].reshape(m_pad, k // 2)
+            y = _quant_matmul4_a8(xe, xo, sxb, q3, s3, lidx, group_size=gs,
+                                  block_m=bm, block_n=bn, ppt=ppt)
+        else:
+            y = _quant_matmul4(x2, q3, s3, lidx, group_size=gs,
+                               block_m=bm, block_n=bn, ppt=ppt)
     else:
         groups = lin.scales.shape[-2]
         if groups == 1:
@@ -349,8 +566,12 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
                 bk //= 2
         else:
             bk = k // groups
-        y = _quant_matmul8(x2, q3, s3, lidx, group_size=gs,
-                           block_m=bm, block_k=bk, block_n=bn)
+        if act_bits == 8:
+            y = _quant_matmul8_a8(xq, sxb, q3, s3, lidx, group_size=gs,
+                                  block_m=bm, block_k=bk, block_n=bn)
+        else:
+            y = _quant_matmul8(x2, q3, s3, lidx, group_size=gs,
+                               block_m=bm, block_k=bk, block_n=bn)
     if m_pad != m:
         y = y[:m]
     return y.reshape(*lead, n).astype(x.dtype)

@@ -148,6 +148,66 @@ def test_quant_matmul_pallas_interpret(bits, gs):
     np.testing.assert_allclose(np.asarray(y, np.float32), y_ref, rtol=5e-2, atol=5e-2)
 
 
+def test_quantize_activations_roundtrip():
+    from qwen_inference_engine_tpu.ops.quant_matmul import quantize_activations
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32) * 3.0)
+    q, s = quantize_activations(x)
+    assert q.dtype == jnp.int8 and s.shape == (5, 1)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # round-to-nearest: error <= scale/2 per element
+    assert (err <= np.asarray(s) / 2 + 1e-6).all()
+    # all-zero row must not divide by zero
+    q0, s0 = quantize_activations(jnp.zeros((1, 8)))
+    assert np.asarray(q0).max() == 0 and np.isfinite(np.asarray(s0)).all()
+
+
+@pytest.mark.parametrize("bits,gs", [(8, 128), (4, 128)])
+def test_quant_matmul_xla_a8_close(bits, gs):
+    """Activation quant adds bounded error on top of weight quant."""
+    rng = np.random.default_rng(8)
+    M, K, N = 4, 256, 128
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    qlin = quantize_linear(Linear(w), bits, gs)
+    y_w = np.asarray(_quant_matmul_xla(x, qlin), np.float32)
+    y_a8 = np.asarray(_quant_matmul_xla(x, qlin, act_bits=8), np.float32)
+    scale = np.abs(y_w).max()
+    assert np.abs(y_a8 - y_w).max() / scale < 0.03
+
+
+@pytest.mark.parametrize("bits,gs", [(8, 128), (4, 128)])
+def test_quant_matmul_pallas_a8_interpret(bits, gs):
+    """W4A8/W8A8 Pallas kernels vs the XLA a8 path (same numerics)."""
+    from unittest import mock
+
+    import qwen_inference_engine_tpu.ops.quant_matmul as qmm
+
+    rng = np.random.default_rng(9)
+    M, K, N = 8, 512, 256
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    qlin = quantize_linear(Linear(w), bits, gs)
+
+    y_ref = np.asarray(
+        _quant_matmul_xla(x.astype(jnp.float32), qlin, act_bits=8), np.float32)
+
+    orig = qmm.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.pop("compiler_params", None)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(qmm.pl, "pallas_call", interp_call):
+        y = qmm.quant_matmul_pallas(x, qlin, act_bits=8)
+    # same integer dots + f32 group scaling; differences are bf16-in vs
+    # f32-in row scales and summation order
+    np.testing.assert_allclose(np.asarray(y, np.float32), y_ref,
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_apply_linear_bias():
     x = jnp.ones((2, 4), jnp.float32)
     lin = Linear(jnp.eye(4), jnp.arange(4.0))

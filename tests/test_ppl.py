@@ -77,6 +77,18 @@ def test_pad_free_quantization_ppl_matches_padded():
     assert abs(pa - pb) / pa < 0.02, (pa, pb)
 
 
+@pytest.mark.parametrize("bits,limit", [(8, 0.04), (4, 0.12)])
+def test_act_quant_ppl_delta(bits, limit):
+    """W8A8 / W4A8 gate: per-token int8 activation quantization on top of
+    weight quant must stay within the weight-only accuracy class (the
+    decode-path act_bits=8 mode, ops/quant_matmul.py)."""
+    base = perplexity(PARAMS, CFG, TOKENS, seq_len=128)
+    qparams = quantize_params(PARAMS, QuantConfig(bits=bits, group_size=32))
+    a8 = perplexity(qparams, CFG.replace(act_bits=8), TOKENS, seq_len=128)
+    rel = abs(a8 - base) / base
+    assert rel < limit, (base, a8, rel)
+
+
 @pytest.mark.parametrize("bits,limit", [(8, 0.03), (4, 0.15)])
 def test_quantized_moe_ppl_delta(bits, limit):
     """Δppl gate with the EXPERT stacks quantized too (quantize_params
