@@ -149,7 +149,7 @@ def tree_bytes(tree) -> int:
                for x in jax.tree.leaves(tree) if hasattr(x, "dtype"))
 
 
-def build_params(cfg, bits, gs, q_lmhead):
+def build_params(cfg, bits, gs, q_lmhead, pad_free=True):
     from qwen_inference_engine_tpu.models.qwen import (
         init_params,
         init_quantized_params,
@@ -162,10 +162,12 @@ def build_params(cfg, bits, gs, q_lmhead):
         return init_params(cfg, key, dtype=dt)
     # pad_free: required by the fused single-pass MLP / pumped kernels
     # (gate/up N == down K); shrinks the down-proj group size instead
-    # of padding (e.g. 7B: down gs 256 -> 128)
+    # of padding (e.g. 7B: down gs 256 -> 128). W4A8 (act_bits=8) wants
+    # the OPPOSITE: per-dot K = gs >= 256 (the int8 double-pump
+    # granularity; docs/PERF.md round-5), so a8 params pad instead.
     return init_quantized_params(cfg, key, bits=bits, group_size=gs,
-                                 quantize_lm_head=q_lmhead, pad_free=True,
-                                 dtype=dt)
+                                 quantize_lm_head=q_lmhead,
+                                 pad_free=pad_free, dtype=dt)
 
 
 def run_decode_config(cfg, params, *, batch, steps, prompt_len, bits,

@@ -894,44 +894,49 @@ class ContinuousBatchingEngine(SpeculationMixin, PagePoolMixin):
 
         ``step()`` fetches the sampled tokens every tick — a full host
         round trip (~30 ms through remote-device transports, ~0.3 ms
-        locally) that dominates small-model serving. In a pure-decode
-        stretch (no pending or prefilling work) the ticks are chained on
-        device (each tick's sampled tokens feed the next directly) and
+        locally) that dominates small-model serving. Decode ticks chain
+        on device (each tick's sampled tokens feed the next directly) and
         the host fetches once at the end, discarding any tokens a row
         produced after its EOS (their KV writes land on pages that are
-        freed with the request). Falls back to single ``step()`` when
-        admissions or prefills need host decisions this tick."""
-        pure_decode = (not self._pending
-                       and all(s is None or s.prefill_done
-                               for s in self._slots)
-                       and any(s is not None for s in self._slots))
-        if not pure_decode and n > 1 and not self._pending \
-                and not self.speculative and not self._ep_step:
+        freed with the request). Admissions run at the window start
+        (host-only accounting); interior prefill pieces interleave into
+        the window; only ticks that genuinely need a host decision (last
+        prefill pieces, prefill-only states, spec/EP mixed ticks) fall
+        back to single ``step()``."""
+        if n <= 1:
+            return self.step()
+        self._expire_deadlines()
+        # Admissions are host-only (slot/page accounting, no device sync):
+        # take them at the WINDOW START so a newly admitted prompt
+        # prefills inside this same chained window instead of forcing the
+        # whole pool onto per-tick step() RTTs while a queue exists
+        # (VERDICT r4 #4: mixed-load inter-token p50 sat at the per-piece
+        # sync wall). A request that arrives mid-window now waits at most
+        # one window for the sync that admits it — bounded, and far
+        # cheaper than one RTT per token for everyone.
+        while self._try_admit():
+            pass
+        prefilling = [s for s in self._slots
+                      if s is not None and not s.prefill_done]
+        decoding = [s for s in self._slots
+                    if s is not None and s.prefill_done]
+        if not decoding:
+            return self.step()   # prefill-only / idle: host-paced path
+        if prefilling and not self.speculative and not self._ep_step:
             # MIXED chain: one admit-order target's INTERIOR prefill
             # pieces need no host decisions (sizes are deterministic, no
             # sampling), so they interleave with chained decode ticks
-            # under the same single end-of-window sync — the arrival-
-            # heavy regime otherwise pays one RTT per token while any
-            # slot is mid-prefill (ROADMAP #6 remainder). Last pieces
-            # (they sample + finish) and admissions stay on step().
-            prefilling = [s for s in self._slots
-                          if s is not None and not s.prefill_done]
-            decoding = [s for s in self._slots
-                        if s is not None and s.prefill_done]
-            if prefilling and decoding:
-                target = min(prefilling, key=lambda s: s.admit_seq)
-                interior = (len(target.request.prompt) - target.prefilled
-                            - 1) // self.prefill_chunk
-                if interior >= 1:
-                    self._expire_deadlines()
-                    return self._mixed_chain_batch(
-                        min(n, interior), decoding, target)
-        if not pure_decode or n <= 1:
+            # under the same single end-of-window sync (ROADMAP #6).
+            # Last pieces (they sample + finish) stay on step().
+            target = min(prefilling, key=lambda s: s.admit_seq)
+            interior = (len(target.request.prompt) - target.prefilled
+                        - 1) // self.prefill_chunk
+            if interior >= 1:
+                return self._mixed_chain_batch(min(n, interior), decoding,
+                                               target)
             return self.step()
-        self._expire_deadlines()
-        decoding = [s for s in self._slots if s is not None]
-        if not decoding:
-            return self._drain_finished()
+        if prefilling:
+            return self.step()   # spec/EP mixed ticks stay host-paced
         if self.speculative and self._model_draft:
             # model drafts need no host input: chain the rounds on device
             return self._spec_model_batch(n, decoding)

@@ -142,17 +142,26 @@ def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n,
 
 
 # ----------------------------------------------------------------------
-# W4A8: int8 activations x int4 plane-packed weights -> s8@s8 MXU dots.
+# W4A8: in-kernel int8 activation quant x int4 plane-packed weights ->
+# s8@s8 MXU dots.
 #
 # The v5e MXU runs int8 x int8 passes at ~2x the bf16 rate (probed by
 # scripts/probe_mixed_dot2.py; see docs/PERF.md round-5).  At decode the
 # INT4 matmul chain is PASS-bound, not byte-bound, so quantizing the
-# activations per token (one VPU absmax+scale pass, done outside the
-# kernel by ``quantize_activations``) halves the chain's floor.  The
-# plane-packed layout carries over unchanged: the lo plane's excess-8
-# offset becomes an integer rowsum correction (exact in i32), and the
-# per-row activation scale multiplies the accumulator once in the
-# epilogue.
+# activations halves the chain's floor.  Quantization happens INSIDE the
+# kernel, per (token row, weight scale group): the bf16 activation block
+# is already in VMEM for the dot, so the absmax+round pass costs VPU
+# cycles on a [bm, gs] tile and ZERO extra HBM traffic — the first
+# (outside-the-kernel, per-token) design lost ~3.4 ms/step of its 4 ms
+# kernel win to the 140 quantize+reshape XLA sequences it added.
+# Per-group activation scales are also strictly more accurate than
+# per-token.  The plane-packed weight layout carries over unchanged: the
+# lo plane's excess-8 offset becomes an integer rowsum correction (exact
+# in i32), and scales fold as (act_scale[m,1] * group_scale[1,bn]) on the
+# i32 partials.  i32 accumulate is mandatory (Mosaic rejects f32-
+# accumulate s8 dots); dots whose contraction is < 256 rows lose the
+# int8 double-pump (gs=128 measured 0.82x, gs=256 1.77x) — quantize
+# weights at gs >= 256 for a8.
 # ----------------------------------------------------------------------
 
 
@@ -160,8 +169,9 @@ def quantize_activations(x: jax.Array):
     """Per-row (= per-token) symmetric int8 quantization of ``x [..., K]``.
 
     Returns ``(q int8 [..., K], scale f32 [..., 1])`` with
-    ``x ~= q * scale``.  One VPU pass over x — O(M*K) elementwise work,
-    negligible next to the matmuls it feeds."""
+    ``x ~= q * scale``.  Used by the XLA W8A8 path and as the reference
+    semantics for tests; the INT4 Pallas kernel quantizes in-kernel per
+    scale group instead."""
     xf = x.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.maximum(ax, 1e-30) / 127.0
@@ -169,13 +179,49 @@ def quantize_activations(x: jax.Array):
     return q, sx
 
 
-def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, sx_ref, o_ref,
-                    acc_ref, *, k_tiles, ppt, gs):
-    """INT4 plane-pair kernel, int8 activations: two s8@s8 -> i32 dots per
-    plane-pair; group scales applied to the i32 partials in f32; per-row
-    activation scale applied once in the epilogue."""
+def _quantize_rows_block(xb):
+    """In-kernel per-row symmetric int8 quant of a [bm, gs] bf16 block.
+
+    Returns (q int8, scale f32 [bm, 1]).  All-VMEM VPU work; the only
+    divide is the per-ROW reciprocal (a per-VALUE f32 divide measured
+    ~60 us/kernel at the 7B decode shapes — the multiply form is the
+    whole difference between this kernel winning and losing)."""
+    xf = xb.astype(jnp.float32)
+    ax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-30)
+    inv = 127.0 / ax                     # [bm, 1]
+    q = jnp.round(xf * inv).astype(jnp.int8)   # |xf*inv| <= 127 by absmax
+    return q, ax * (1.0 / 127.0)
+
+
+def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref,
+                    acc_ref, xq_ref, sc_ref, *, k_tiles, ppt, gs):
+    """INT4 plane-pair kernel, int8 activations quantized in-kernel per
+    (row, scale group): two s8@s8 -> i32 dots per plane-pair; the i32
+    partials are scaled by act_scale[m,1] * group_scale[1,bn] in f32.
+
+    The quantized planes + scales live in PERSISTENT scratch, written on
+    the first n-tile of each m-tile (grid order is k-innermost, n-middle)
+    and reused by every later n-tile: quantizing inside the dot loop cost
+    ~1.1 us per k-tile per grid cell, which at 8 n-tiles re-paid the VPU
+    work 8x and erased the int8 MXU win (measured 107.8 vs 43.5 us at the
+    7B gate shape).  sc layout per plane-pair p: [se, so, 8*rowsum(xe)]."""
     del layer_ref
     kt = pl.program_id(2)
+    nt = pl.program_id(1)
+
+    @pl.when(nt == 0)
+    def _():
+        for p in range(ppt):
+            sl = slice(p * gs, (p + 1) * gs)
+            xe, se = _quantize_rows_block(xe_ref[:, sl])
+            xo, so = _quantize_rows_block(xo_ref[:, sl])
+            xq_ref[kt, 0, :, sl] = xe
+            xq_ref[kt, 1, :, sl] = xo
+            sume = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True)
+            sc_ref[kt, :, 4 * p:4 * p + 1] = se
+            sc_ref[kt, :, 4 * p + 1:4 * p + 2] = so
+            sc_ref[kt, :, 4 * p + 2:4 * p + 3] = (
+                sume.astype(jnp.float32) * 8.0)
 
     @pl.when(kt == 0)
     def _():
@@ -188,33 +234,41 @@ def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, sx_ref, o_ref,
         l8 = jnp.bitwise_and(b, 0xF)
         lo8 = l8.astype(jnp.int8)                  # lo+8 in [0, 15]
         hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
-        xe = xe_ref[:, sl]                         # int8
+        xe = xq_ref[kt, 0, :, sl]
+        xo = xq_ref[kt, 1, :, sl]
         pe = jax.lax.dot_general(xe, lo8, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
-        po = jax.lax.dot_general(xo_ref[:, sl], hi, (((1,), (0,)), ((), ())),
+        po = jax.lax.dot_general(xo, hi, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
-        # excess-8 correction, exact in i32: dot(x, lo+8) - 8*rowsum(x)
-        sxe = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True) * 8
-        acc = acc + ((pe - sxe).astype(jnp.float32) * s_ref[0, 0, p, 0:1, :]
-                     + po.astype(jnp.float32) * s_ref[0, 0, p, 1:2, :])
+        se = sc_ref[kt, :, 4 * p:4 * p + 1]
+        so = sc_ref[kt, :, 4 * p + 1:4 * p + 2]
+        sxe = sc_ref[kt, :, 4 * p + 2:4 * p + 3]
+        # excess-8 correction: dot(x, lo+8) - 8*rowsum(x); both < 2^24 so
+        # the f32 subtraction is exact
+        acc = acc + ((pe.astype(jnp.float32) - sxe)
+                     * (se * s_ref[0, 0, p, 0:1, :])
+                     + po.astype(jnp.float32)
+                     * (so * s_ref[0, 0, p, 1:2, :]))
     acc_ref[:] = acc
 
     @pl.when(kt == k_tiles - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * sx_ref[:, 0:1]).astype(o_ref.dtype)
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_m",
                                              "block_n", "ppt"))
-def _quant_matmul4_a8(xe, xo, sx, q, scales, layer, *, group_size, block_m,
+def _quant_matmul4_a8(x, q, scales, layer, *, group_size, block_m,
                       block_n, ppt=1):
-    """W4A8 variant of ``_quant_matmul4``: xe/xo are the int8 parity planes
-    of the quantized activations, ``sx [M, 128]`` the per-row scale
-    (broadcast along lanes so the epilogue block is tile-aligned)."""
-    m = xe.shape[0]
+    """W4A8 variant of ``_quant_matmul4``: identical bf16 data path (the
+    same parity-plane split), activation quant fused into the kernel."""
+    m, k = x.shape
     L, _, n = q.shape
     gs = group_size
-    k_tiles = xe.shape[1] // (gs * ppt)
+    k_tiles = k // (2 * gs * ppt)
+    xm = x.reshape(m, k // (2 * gs), 2, gs)
+    xe = xm[:, :, 0, :].reshape(m, k // 2)
+    xo = xm[:, :, 1, :].reshape(m, k // 2)
     scales5 = scales.reshape(L, k_tiles, ppt, 2, n)
 
     kernel = functools.partial(_qmm4_a8_kernel, k_tiles=k_tiles, ppt=ppt,
@@ -233,29 +287,32 @@ def _quant_matmul4_a8(xe, xo, sx, q, scales, layer, *, group_size, block_m,
             pl.BlockSpec((1, 1, ppt, 2, block_n),
                          lambda mt, nt, kt, lr: (lr[0], kt, 0, 0, nt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, 128), lambda mt, nt, kt, lr: (mt, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n),
                                lambda mt, nt, kt, lr: (mt, nt),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_n), jnp.float32),
+            # persistent quantized activations + per-plane scales for the
+            # whole m-tile (written at nt==0, reused by every n-tile)
+            pltpu.VMEM((k_tiles, 2, block_m, ppt * gs), jnp.int8),
+            pltpu.VMEM((k_tiles, block_m, 4 * ppt), jnp.float32),
+        ],
     )
-    k = xe.shape[1] * 2
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k + (k // 2) * n + (scales.size // L) * 4
+            bytes_accessed=m * k * 2 + (k // 2) * n + (scales.size // L) * 4
             + m * n * 2,
             transcendentals=0,
         ),
-    )(layer.reshape(1), xe, xo, q, scales5, sx)
+    )(layer.reshape(1), xe, xo, q, scales5)
 
 
 def _qmm8_a8_kernel(layer_ref, x_ref, q_ref, s_ref, sx_ref, o_ref, acc_ref,
@@ -436,7 +493,7 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool,
-             gs: int = 0) -> int:
+             gs: int = 0, extra_bytes: int = 0) -> int:
     """Largest 128-multiple divisor of n whose VMEM footprint fits.
 
     Footprint = double-buffered q block + in-kernel i32 unpack temporaries
@@ -451,6 +508,7 @@ def _pick_bn(n: int, bm: int, weight_rows: int, *, int4: bool,
     # a bm=240 lm-head verify compile measured 16.18M against the 16M
     # scoped limit with the est at 13.6M — shave the budget accordingly
     budget = _VMEM_BUDGET if bm <= 128 else _VMEM_BUDGET - 2 * 1024 * 1024
+    budget -= extra_bytes
     for d in range(1, n // 128 + 1):
         bn = 128 * d
         if n % bn:
@@ -516,7 +574,11 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
             ppt0, kt0 = 1, k // (2 * gs)
             while kt0 > 20 and kt0 % 2 == 0 and ppt0 < 4:
                 ppt0, kt0 = ppt0 * 2, kt0 // 2
-            bn = _pick_bn(n, bm, ppt0 * gs, int4=True, gs=gs)
+            # a8: the persistent quantized-activation scratch holds the
+            # whole m-tile (bm*k int8 + per-plane scales)
+            extra = bm * k + kt0 * bm * 4 * ppt0 * 4 if act_bits == 8 else 0
+            bn = _pick_bn(n, bm, ppt0 * gs, int4=True, gs=gs,
+                          extra_bytes=extra)
         else:
             bk = k if lin.scales.shape[-2] == 1 else k // lin.scales.shape[-2]
             bk = min(bk, 2048)
@@ -540,9 +602,6 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
     x2 = x.reshape(m, k_x).astype(jnp.bfloat16)
     if m_pad != m or k != k_x:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, k - k_x)))
-    if act_bits == 8:
-        xq, sx = quantize_activations(x2)
-        sxb = jnp.broadcast_to(sx, (m_pad, 128))
     if lin.bits == 4:
         # shorten the serial k-tile accumulation chain for huge-K
         # projections by packing several plane-pairs into one tile
@@ -550,10 +609,7 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
         while kt > 20 and kt % 2 == 0 and ppt < 4:
             ppt, kt = ppt * 2, kt // 2
         if act_bits == 8:
-            xm = xq.reshape(m_pad, k // (2 * gs), 2, gs)
-            xe = xm[:, :, 0, :].reshape(m_pad, k // 2)
-            xo = xm[:, :, 1, :].reshape(m_pad, k // 2)
-            y = _quant_matmul4_a8(xe, xo, sxb, q3, s3, lidx, group_size=gs,
+            y = _quant_matmul4_a8(x2, q3, s3, lidx, group_size=gs,
                                   block_m=bm, block_n=bn, ppt=ppt)
         else:
             y = _quant_matmul4(x2, q3, s3, lidx, group_size=gs,
@@ -567,6 +623,8 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
         else:
             bk = k // groups
         if act_bits == 8:
+            xq, sx = quantize_activations(x2)
+            sxb = jnp.broadcast_to(sx, (m_pad, 128))
             y = _quant_matmul8_a8(xq, sxb, q3, s3, lidx, group_size=gs,
                                   block_m=bm, block_k=bk, block_n=bn)
         else:
