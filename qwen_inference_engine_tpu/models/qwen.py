@@ -269,7 +269,7 @@ def _read_layer_cache(cslices: dict, block_tables, page_size: Optional[int], dty
 # ----------------------------------------------------------------------
 
 def _expert_matmul(xs: jax.Array, w, group_sizes: jax.Array, layer,
-                   use_pallas: bool) -> jax.Array:
+                   use_pallas: bool, act_bits: int = 0) -> jax.Array:
     """Grouped matmul over expert-sorted rows: bf16 stacks ``[L, E, K, N]``
     go through ``jax.lax.ragged_dot`` on the [layer] slice; quantized
     stacks (QuantLinear with an expert axis, quant/quantize.py) go through
@@ -283,7 +283,8 @@ def _expert_matmul(xs: jax.Array, w, group_sizes: jax.Array, layer,
         )
 
         if use_pallas and grouped_quant_matmul_supported(w, xs.shape[0]):
-            return grouped_quant_matmul(xs, w, group_sizes, layer)
+            return grouped_quant_matmul(xs, w, group_sizes, layer,
+                                        act_bits=act_bits)
         import dataclasses as _dc
 
         from qwen_inference_engine_tpu.ops.linear import dequantize
@@ -298,7 +299,8 @@ def _expert_matmul(xs: jax.Array, w, group_sizes: jax.Array, layer,
 def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
             top_k: int, norm_topk: bool, layer=0,
             use_pallas: bool = False,
-            reduce_axis: Optional[str] = None) -> jax.Array:
+            reduce_axis: Optional[str] = None,
+            act_bits: int = 0) -> jax.Array:
     """Qwen3-MoE sparse MLP for one layer.
 
     h [N, D]; router [D, E]; w_gate/up ``[L, E, D, Fm]`` (bf16 stack or
@@ -348,11 +350,11 @@ def moe_mlp(h: jax.Array, router: jax.Array, w_gate, w_up, w_down,
     tok = order // top_k                               # source token per pair
     xs = jnp.take(h, tok, axis=0)                      # [N*k, D]
 
-    g = _expert_matmul(xs, w_gate, group_sizes, layer, use_pallas)
-    u = _expert_matmul(xs, w_up, group_sizes, layer, use_pallas)
+    g = _expert_matmul(xs, w_gate, group_sizes, layer, use_pallas, act_bits)
+    u = _expert_matmul(xs, w_up, group_sizes, layer, use_pallas, act_bits)
     mid = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32))
     y = _expert_matmul(mid.astype(xs.dtype), w_down, group_sizes, layer,
-                       use_pallas)                     # [N*k, D]
+                       use_pallas, act_bits)           # [N*k, D]
     w = jnp.take(topw.reshape(-1), order)[:, None].astype(y.dtype)
     if reduce_axis is not None:
         contrib = jnp.where(jnp.take(is_local, order)[:, None], y * w, 0)
@@ -880,7 +882,7 @@ def forward_hidden(
                 layers_all["moe_down"],
                 cfg.num_experts_per_tok, cfg.norm_topk_prob,
                 layer=l, use_pallas=want_kernels,
-                reduce_axis=reduce_axis,
+                reduce_axis=reduce_axis, act_bits=cfg.act_bits,
             ).reshape(B, T, -1).astype(x.dtype)
         elif use_mlp_kernel:
             # single-pass SwiGLU kernel: gate/up/h intermediates stay in

@@ -208,6 +208,136 @@ def _grouped_matmul4(xs, q, scales, group_sizes, layer, *, group_size, tm,
 
 
 # ----------------------------------------------------------------------
+# W4A8 kernel: int8 activation planes (quantized per token outside, like
+# ops/quant_matmul's a8 path) x int4 plane pairs -> s8@s8 i32 dots at ~2x
+# the bf16 MXU pass rate.  The grouped schedule's pass count is
+# E_touched * K/128 * N/128 per matmul regardless of tokens-per-expert
+# (every expert pays full M-tile passes for its ~B*k/E valid rows), so
+# the int8 rate halves the dominant term of the MoE step (ablated:
+# the 3 grouped matmuls are ~87% of the 30B-A3B decode step).
+# ----------------------------------------------------------------------
+
+
+def _gmm4_a8_kernel(eid_ref, tid_ref, rs_ref, re_ref, first_ref, layer_ref,
+                    xe_ref, xo_ref, q_ref, s_ref, sx_ref, o_ref, acc_ref,
+                    *, k_tiles, ppt, gs, tm):
+    del eid_ref, layer_ref
+    w = pl.program_id(1)
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    row = tid_ref[w] * tm + jax.lax.broadcasted_iota(
+        jnp.int32, (tm, 1), 0)
+    valid = jnp.logical_and(row >= rs_ref[w], row < re_ref[w])
+
+    acc = acc_ref[:]
+    for p in range(ppt):
+        sl = slice(p * gs, (p + 1) * gs)
+        b = q_ref[0, 0, sl].astype(jnp.int32)
+        l8 = jnp.bitwise_and(b, 0xF)
+        lo8 = l8.astype(jnp.int8)                  # lo+8
+        hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
+        xe = jnp.where(valid, xe_ref[:, sl], 0)
+        xo = jnp.where(valid, xo_ref[:, sl], 0)
+        pe = jax.lax.dot_general(xe, lo8, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        po = jax.lax.dot_general(xo, hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        sxe = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True) * 8
+        acc = acc + ((pe - sxe).astype(jnp.float32) * s_ref[0, 0, 0, p, 0:1, :]
+                     + po.astype(jnp.float32) * s_ref[0, 0, 0, p, 1:2, :])
+    acc_ref[:] = acc
+
+    @pl.when(kt == k_tiles - 1)
+    def _():
+        scaled = (acc_ref[:] * sx_ref[:, 0:1]).astype(o_ref.dtype)
+
+        @pl.when(first_ref[w] == 1)
+        def _():
+            o_ref[:] = scaled
+
+        @pl.when(first_ref[w] == 0)
+        def _():
+            o_ref[:] = (o_ref[:].astype(jnp.float32)
+                        + scaled.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "tm", "block_n",
+                                             "ppt"))
+def _grouped_matmul4_a8(xs, q, scales, group_sizes, layer, *, group_size,
+                        tm, block_n, ppt=1):
+    """W4A8 grouped variant: xs quantized per token + parity-split here;
+    weights/scales/worklist exactly as _grouped_matmul4."""
+    from qwen_inference_engine_tpu.ops.quant_matmul import (
+        quantize_activations,
+    )
+
+    m, k = xs.shape
+    L, E, _, n = q.shape
+    gs = group_size
+    k_tiles = k // (2 * gs * ppt)
+    m_tiles = m // tm
+    eid, tid, rs, re, first = _build_worklist(group_sizes, m_tiles, tm)
+    w_items = int(eid.shape[0])
+
+    xq, sx = quantize_activations(xs)
+    sxb = jnp.broadcast_to(sx, (m, 128))
+    xm = xq.reshape(m, k // (2 * gs), 2, gs)
+    xe = xm[:, :, 0, :].reshape(m, k // 2)
+    xo = xm[:, :, 1, :].reshape(m, k // 2)
+    scales6 = scales.reshape(L, E, k_tiles, ppt, 2, n)
+
+    kernel = functools.partial(_gmm4_a8_kernel, k_tiles=k_tiles, ppt=ppt,
+                               gs=gs, tm=tm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n // block_n, w_items, k_tiles),
+        in_specs=[
+            pl.BlockSpec((tm, ppt * gs),
+                         lambda nt, w, kt, eid, tid, *_: (tid[w], kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, ppt * gs),
+                         lambda nt, w, kt, eid, tid, *_: (tid[w], kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ppt * gs, block_n),
+                         lambda nt, w, kt, eid, tid, rs, re, fv, lr:
+                         (lr[0], eid[w], kt, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, ppt, 2, block_n),
+                         lambda nt, w, kt, eid, tid, rs, re, fv, lr:
+                         (lr[0], eid[w], kt, 0, 0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 128),
+                         lambda nt, w, kt, eid, tid, *_: (tid[w], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, block_n),
+                               lambda nt, w, kt, eid, tid, *_:
+                               (tid[w], nt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), xs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + E * (k // 2) * n
+            + (scales.size // L) * 4 + m * n * 2,
+            transcendentals=0,
+        ),
+    )(eid, tid, rs, re, first, jnp.asarray(layer, jnp.int32).reshape(1),
+      xe, xo, q, scales6, sxb)
+
+
+# ----------------------------------------------------------------------
 # INT8 kernel: one mixed dot per k-tile; per-channel or per-group scales
 # ----------------------------------------------------------------------
 
@@ -357,12 +487,14 @@ def grouped_quant_matmul_supported(qe, n_rows: int) -> bool:
 
 
 def grouped_quant_matmul(xs: jax.Array, qe, group_sizes: jax.Array,
-                         layer=None) -> jax.Array:
+                         layer=None, act_bits: int = 0) -> jax.Array:
     """xs [M, K] (rows sorted by expert) @ QuantExperts -> [M, N].
 
     ``qe.q`` may be single-layer ``[E, K/pack, N]`` or stacked
     ``[L, E, K/pack, N]`` with ``layer`` a traced index (scalar-prefetched,
     so a lax.scan over layers never copies the expert weights).
+    ``act_bits=8`` (INT4 weights only) runs the W4A8 variant — per-token
+    int8 activations, s8@s8 i32 dots at ~2x the bf16 pass rate.
     """
     stacked = qe.q.ndim == 4
     k = qe.in_features
@@ -390,8 +522,13 @@ def grouped_quant_matmul(xs: jax.Array, qe, group_sizes: jax.Array,
                and _pick_bn(n, _TM, 2 * ppt * gs, int4=True, gs=gs) > 0):
             ppt, kt = ppt * 2, kt // 2
         bn = _pick_bn(n, _TM, ppt * gs, int4=True, gs=gs)
-        y = _grouped_matmul4(x2, q4, s4, group_sizes, lidx, group_size=gs,
-                             tm=_TM, block_n=bn, ppt=ppt)
+        if act_bits == 8:
+            y = _grouped_matmul4_a8(x2, q4, s4, group_sizes, lidx,
+                                    group_size=gs, tm=_TM, block_n=bn,
+                                    ppt=ppt)
+        else:
+            y = _grouped_matmul4(x2, q4, s4, group_sizes, lidx,
+                                 group_size=gs, tm=_TM, block_n=bn, ppt=ppt)
     else:
         groups = qe.scales.shape[-2]
         if groups == 1:

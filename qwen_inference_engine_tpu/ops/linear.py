@@ -132,11 +132,10 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear,
     reduction without materializing the bf16 weight in HBM:
     ``y = sum_g (x_g @ q_g) * s_g`` with the scale applied per-group.
 
-    ``act_bits=8`` applies the same activation quantization as the Pallas
-    W4A8/W8A8 kernels (ops/quant_matmul.py) — per (token, weight scale
-    group) for INT4 (the in-kernel quant granularity), per token for INT8
-    — so accuracy gates for activation quant run on any backend with
-    kernel-equivalent numerics (int products are exact in f32 up to 2^24).
+    ``act_bits=8`` applies the same per-token activation quantization as
+    the Pallas W4A8/W8A8 kernels (ops/quant_matmul.py), so accuracy gates
+    for activation quant run on any backend with kernel-equivalent
+    numerics (int products are exact in f32 up to 2^24).
     """
     if lin.bits == 8:
         q = lin.q
@@ -150,20 +149,13 @@ def _quant_matmul_xla(x: jax.Array, lin: QuantLinear,
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k - x.shape[-1])])
     out_dtype = x.dtype
     sx = None
-    if act_bits == 8 and lin.bits == 8:
+    if act_bits == 8:
         from qwen_inference_engine_tpu.ops.quant_matmul import (
             quantize_activations,
         )
 
         x, sx = quantize_activations(x)
     xg = x.reshape(-1, groups, gs).astype(jnp.float32)
-    if act_bits == 8 and lin.bits == 4:
-        # per-(token, group) symmetric int8, dequantized in place: the
-        # scale folds into the quantized activations so no [m, groups, n]
-        # intermediate is needed
-        ax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
-        sc = jnp.maximum(ax, 1e-30) / 127.0
-        xg = jnp.clip(jnp.round(xg / sc), -127, 127) * sc
     qg = q.reshape(groups, gs, n).astype(jnp.float32)
     # fold scales into the weight operand; XLA fuses the multiply into the
     # contraction so no [m, groups, n] intermediate is materialized.

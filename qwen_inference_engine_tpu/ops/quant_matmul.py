@@ -142,26 +142,26 @@ def _quant_matmul4(x, q, scales, layer, *, group_size, block_m, block_n,
 
 
 # ----------------------------------------------------------------------
-# W4A8: in-kernel int8 activation quant x int4 plane-packed weights ->
-# s8@s8 MXU dots.
+# W4A8: per-token int8 activation quant (outside the kernel) x int4
+# plane-packed weights -> s8@s8 MXU dots.
 #
-# The v5e MXU runs int8 x int8 passes at ~2x the bf16 rate (probed by
-# scripts/probe_mixed_dot2.py; see docs/PERF.md round-5).  At decode the
-# INT4 matmul chain is PASS-bound, not byte-bound, so quantizing the
-# activations halves the chain's floor.  Quantization happens INSIDE the
-# kernel, per (token row, weight scale group): the bf16 activation block
-# is already in VMEM for the dot, so the absmax+round pass costs VPU
-# cycles on a [bm, gs] tile and ZERO extra HBM traffic — the first
-# (outside-the-kernel, per-token) design lost ~3.4 ms/step of its 4 ms
-# kernel win to the 140 quantize+reshape XLA sequences it added.
-# Per-group activation scales are also strictly more accurate than
-# per-token.  The plane-packed weight layout carries over unchanged: the
-# lo plane's excess-8 offset becomes an integer rowsum correction (exact
-# in i32), and scales fold as (act_scale[m,1] * group_scale[1,bn]) on the
-# i32 partials.  i32 accumulate is mandatory (Mosaic rejects f32-
-# accumulate s8 dots); dots whose contraction is < 256 rows lose the
-# int8 double-pump (gs=128 measured 0.82x, gs=256 1.77x) — quantize
-# weights at gs >= 256 for a8.
+# The v5e MXU runs int8 x int8 passes at ~2x the bf16 rate (probed:
+# scripts/probe_mixed_dot2.py; docs/PERF.md round-5).  At decode the INT4
+# matmul chain is PASS-bound, not byte-bound, so int8 activations halve
+# the chain's floor.  Three lowerings were measured IN THE FULL 7B step
+# (the only meter that doesn't lie here — solo kernel timings swung 1.5x
+# between sessions):
+#   per-token quant outside the kernel   23.50 ms/step  <- shipped
+#   in-kernel quant per (row, group)     24.50 (VPU re-paid per n-tile)
+#   in-kernel + persistent VMEM scratch  24.13 (dynamic-kt VMEM access)
+#   bf16 activations (weight-only)       24.79
+# The excess-8 plane correction stays exact in i32; the per-row
+# activation scale multiplies the accumulator once in the epilogue via a
+# lane-broadcast [M, 128] block.  i32 accumulate is mandatory (Mosaic
+# rejects f32-accumulate s8 dots).  Dots whose contraction is < 256 rows
+# lose the int8 double-pump (gs=128 measured 0.82x, gs=256 1.77x) —
+# quantize weights at gs >= 256 for a8 (pad_free=False pads the 7B
+# down-proj K to 19456 instead of shrinking gs).
 # ----------------------------------------------------------------------
 
 
@@ -169,9 +169,8 @@ def quantize_activations(x: jax.Array):
     """Per-row (= per-token) symmetric int8 quantization of ``x [..., K]``.
 
     Returns ``(q int8 [..., K], scale f32 [..., 1])`` with
-    ``x ~= q * scale``.  Used by the XLA W8A8 path and as the reference
-    semantics for tests; the INT4 Pallas kernel quantizes in-kernel per
-    scale group instead."""
+    ``x ~= q * scale``.  One VPU pass over x, shared by the W4A8/W8A8
+    kernels and the XLA fallback."""
     xf = x.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.maximum(ax, 1e-30) / 127.0
@@ -179,49 +178,15 @@ def quantize_activations(x: jax.Array):
     return q, sx
 
 
-def _quantize_rows_block(xb):
-    """In-kernel per-row symmetric int8 quant of a [bm, gs] bf16 block.
-
-    Returns (q int8, scale f32 [bm, 1]).  All-VMEM VPU work; the only
-    divide is the per-ROW reciprocal (a per-VALUE f32 divide measured
-    ~60 us/kernel at the 7B decode shapes — the multiply form is the
-    whole difference between this kernel winning and losing)."""
-    xf = xb.astype(jnp.float32)
-    ax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-30)
-    inv = 127.0 / ax                     # [bm, 1]
-    q = jnp.round(xf * inv).astype(jnp.int8)   # |xf*inv| <= 127 by absmax
-    return q, ax * (1.0 / 127.0)
-
-
-def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref,
-                    acc_ref, xq_ref, sc_ref, *, k_tiles, ppt, gs):
-    """INT4 plane-pair kernel, int8 activations quantized in-kernel per
-    (row, scale group): two s8@s8 -> i32 dots per plane-pair; the i32
-    partials are scaled by act_scale[m,1] * group_scale[1,bn] in f32.
-
-    The quantized planes + scales live in PERSISTENT scratch, written on
-    the first n-tile of each m-tile (grid order is k-innermost, n-middle)
-    and reused by every later n-tile: quantizing inside the dot loop cost
-    ~1.1 us per k-tile per grid cell, which at 8 n-tiles re-paid the VPU
-    work 8x and erased the int8 MXU win (measured 107.8 vs 43.5 us at the
-    7B gate shape).  sc layout per plane-pair p: [se, so, 8*rowsum(xe)]."""
+def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, sx_ref,
+                     o_ref, acc_ref, *, k_tiles, ppt, gs):
+    """INT4 x pre-quantized int8 activations (quantized per token OUTSIDE
+    the kernel): two s8@s8 -> i32 dots per plane-pair, per-row activation
+    scale in the epilogue.  The alternative a8 lowering (QIE_A8_IMPL=
+    external): pays ~20 us/call of XLA quantize+parity glue but keeps the
+    kernel free of the in-kernel VPU quant pass."""
     del layer_ref
     kt = pl.program_id(2)
-    nt = pl.program_id(1)
-
-    @pl.when(nt == 0)
-    def _():
-        for p in range(ppt):
-            sl = slice(p * gs, (p + 1) * gs)
-            xe, se = _quantize_rows_block(xe_ref[:, sl])
-            xo, so = _quantize_rows_block(xo_ref[:, sl])
-            xq_ref[kt, 0, :, sl] = xe
-            xq_ref[kt, 1, :, sl] = xo
-            sume = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True)
-            sc_ref[kt, :, 4 * p:4 * p + 1] = se
-            sc_ref[kt, :, 4 * p + 1:4 * p + 2] = so
-            sc_ref[kt, :, 4 * p + 2:4 * p + 3] = (
-                sume.astype(jnp.float32) * 8.0)
 
     @pl.when(kt == 0)
     def _():
@@ -232,41 +197,36 @@ def _qmm4_a8_kernel(layer_ref, xe_ref, xo_ref, q_ref, s_ref, o_ref,
         sl = slice(p * gs, (p + 1) * gs)
         b = q_ref[0, sl].astype(jnp.int32)
         l8 = jnp.bitwise_and(b, 0xF)
-        lo8 = l8.astype(jnp.int8)                  # lo+8 in [0, 15]
+        lo8 = l8.astype(jnp.int8)
         hi = jnp.right_shift(b - l8, 4).astype(jnp.int8)
-        xe = xq_ref[kt, 0, :, sl]
-        xo = xq_ref[kt, 1, :, sl]
+        xe = xe_ref[:, sl]
         pe = jax.lax.dot_general(xe, lo8, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
-        po = jax.lax.dot_general(xo, hi, (((1,), (0,)), ((), ())),
+        po = jax.lax.dot_general(xo_ref[:, sl], hi, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
-        se = sc_ref[kt, :, 4 * p:4 * p + 1]
-        so = sc_ref[kt, :, 4 * p + 1:4 * p + 2]
-        sxe = sc_ref[kt, :, 4 * p + 2:4 * p + 3]
-        # excess-8 correction: dot(x, lo+8) - 8*rowsum(x); both < 2^24 so
-        # the f32 subtraction is exact
-        acc = acc + ((pe.astype(jnp.float32) - sxe)
-                     * (se * s_ref[0, 0, p, 0:1, :])
-                     + po.astype(jnp.float32)
-                     * (so * s_ref[0, 0, p, 1:2, :]))
+        sxe = jnp.sum(xe.astype(jnp.int32), axis=1, keepdims=True) * 8
+        acc = acc + ((pe - sxe).astype(jnp.float32) * s_ref[0, 0, p, 0:1, :]
+                     + po.astype(jnp.float32) * s_ref[0, 0, p, 1:2, :])
     acc_ref[:] = acc
 
     @pl.when(kt == k_tiles - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] * sx_ref[:, 0:1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_m",
                                              "block_n", "ppt"))
 def _quant_matmul4_a8(x, q, scales, layer, *, group_size, block_m,
-                      block_n, ppt=1):
-    """W4A8 variant of ``_quant_matmul4``: identical bf16 data path (the
-    same parity-plane split), activation quant fused into the kernel."""
+                       block_n, ppt=1):
+    """External-quant W4A8: per-token int8 quant + parity split in XLA,
+    kernel consumes int8 planes + a lane-broadcast row scale."""
     m, k = x.shape
     L, _, n = q.shape
     gs = group_size
     k_tiles = k // (2 * gs * ppt)
-    xm = x.reshape(m, k // (2 * gs), 2, gs)
+    xq, sx = quantize_activations(x)
+    sxb = jnp.broadcast_to(sx, (m, 128))
+    xm = xq.reshape(m, k // (2 * gs), 2, gs)
     xe = xm[:, :, 0, :].reshape(m, k // 2)
     xo = xm[:, :, 1, :].reshape(m, k // 2)
     scales5 = scales.reshape(L, k_tiles, ppt, 2, n)
@@ -287,17 +247,13 @@ def _quant_matmul4_a8(x, q, scales, layer, *, group_size, block_m,
             pl.BlockSpec((1, 1, ppt, 2, block_n),
                          lambda mt, nt, kt, lr: (lr[0], kt, 0, 0, nt),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 128), lambda mt, nt, kt, lr: (mt, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n),
                                lambda mt, nt, kt, lr: (mt, nt),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_m, block_n), jnp.float32),
-            # persistent quantized activations + per-plane scales for the
-            # whole m-tile (written at nt==0, reused by every n-tile)
-            pltpu.VMEM((k_tiles, 2, block_m, ppt * gs), jnp.int8),
-            pltpu.VMEM((k_tiles, block_m, 4 * ppt), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -306,13 +262,7 @@ def _quant_matmul4_a8(x, q, scales, layer, *, group_size, block_m,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + (k // 2) * n + (scales.size // L) * 4
-            + m * n * 2,
-            transcendentals=0,
-        ),
-    )(layer.reshape(1), xe, xo, q, scales5)
+    )(layer.reshape(1), xe, xo, q, scales5, sxb)
 
 
 def _qmm8_a8_kernel(layer_ref, x_ref, q_ref, s_ref, sx_ref, o_ref, acc_ref,
@@ -574,11 +524,7 @@ def quant_matmul_pallas(x: jax.Array, lin, layer=None,
             ppt0, kt0 = 1, k // (2 * gs)
             while kt0 > 20 and kt0 % 2 == 0 and ppt0 < 4:
                 ppt0, kt0 = ppt0 * 2, kt0 // 2
-            # a8: the persistent quantized-activation scratch holds the
-            # whole m-tile (bm*k int8 + per-plane scales)
-            extra = bm * k + kt0 * bm * 4 * ppt0 * 4 if act_bits == 8 else 0
-            bn = _pick_bn(n, bm, ppt0 * gs, int4=True, gs=gs,
-                          extra_bytes=extra)
+            bn = _pick_bn(n, bm, ppt0 * gs, int4=True, gs=gs)
         else:
             bk = k if lin.scales.shape[-2] == 1 else k // lin.scales.shape[-2]
             bk = min(bk, 2048)

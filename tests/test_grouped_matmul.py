@@ -54,6 +54,33 @@ def test_grouped_quant_matmul_matches_oracle(bits, sizes):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("sizes", [
+    [0, 200, 7, 0, 93],
+    [37, 61, 64, 70, 68],
+])
+def test_grouped_quant_matmul_a8_close(sizes):
+    """W4A8 grouped kernel vs an explicit per-token-act-quant oracle."""
+    import qwen_inference_engine_tpu.ops.grouped_matmul as gm
+    from qwen_inference_engine_tpu.ops.quant_matmul import (
+        quantize_activations,
+    )
+
+    L, E, K, N = 2, 5, 256, 256
+    M = sum(sizes)
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(L, E, K, N)).astype(np.float32) * (K ** -0.5)
+    qe = _quant_experts(w, 4, 128)
+    xs = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    layer = 0
+
+    xq, sx = quantize_activations(xs)
+    ref = np.asarray(_oracle(xq.astype(jnp.float32) * sx, qe, sizes, layer))
+    with interpret_pallas(gm):
+        got = gm.grouped_quant_matmul(
+            xs, qe, jnp.asarray(sizes, jnp.int32), layer, act_bits=8)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-2, atol=3e-2)
+
+
 def test_grouped_quant_matmul_int8_per_group_scales():
     """Per-group (not per-channel) INT8 scales hit the per-tile path."""
     import qwen_inference_engine_tpu.ops.grouped_matmul as gm
