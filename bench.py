@@ -444,6 +444,13 @@ def main():
     bits = int(os.environ.get("BENCH_BITS", "4"))
     gs = int(os.environ.get("BENCH_GS", "256"))
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "16"))
+    # W4A8 (per-token int8 activations, s8@s8 MXU dots) is the measured
+    # default for INT4 rows: 23.50 vs 24.79 ms/step at the headline shape
+    # (docs/PERF.md round-5). BENCH_ACT_BITS=0 restores weight-only.
+    # a8 wants gs>=256 per dot, so params quantize WITHOUT pad_free (the
+    # down-proj pads K instead of shrinking its group size).
+    act_bits = int(os.environ.get("BENCH_ACT_BITS",
+                                  "8" if bits == 4 and not small else "0"))
     q_lmhead = os.environ.get("BENCH_QUANT_LMHEAD", "1") == "1"
     warmup = 4 if small else 16
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
@@ -453,9 +460,15 @@ def main():
     from qwen_inference_engine_tpu.config import ModelConfig, tiny_config
 
     cfg = tiny_config() if model == "tiny" else ModelConfig.from_pretrained(model)
+    if act_bits:
+        # serving/spec rows inherit a8 through cfg (the engines thread
+        # cfg.act_bits into every forward)
+        cfg = cfg.replace(act_bits=act_bits)
     # double-pumped decode (fused attention∥MLP kernel): on by default for
-    # the INT4/bf16-KV config it covers; BENCH_PUMPED=0 forces the plain path
-    want_pumped = os.environ.get("BENCH_PUMPED", "1") == "1" and bits == 4
+    # the INT4/bf16-KV config it covers; BENCH_PUMPED=0 forces the plain
+    # path; no a8 variant exists (and a8 params are K-padded)
+    want_pumped = (os.environ.get("BENCH_PUMPED", "1") == "1" and bits == 4
+                   and act_bits == 0)
     log(f"bench: {cfg.name} INT{bits} gs={gs} kv={kv_bits} batch={batch} "
         f"prompt={prompt_len} steps={steps} on {jax.devices()[0].device_kind}")
 
@@ -477,12 +490,14 @@ def main():
     params = None
     if spec_only:
         t0 = time.perf_counter()
-        params = build_params(cfg, bits, gs, q_lmhead)
+        params = build_params(cfg, bits, gs, q_lmhead,
+                              pad_free=(act_bits != 8))
         jax.block_until_ready(params)
         log(f"params ready in {time.perf_counter()-t0:.1f}s")
     elif not moe_only:
         t0 = time.perf_counter()
-        params = build_params(cfg, bits, gs, q_lmhead)
+        params = build_params(cfg, bits, gs, q_lmhead,
+                              pad_free=(act_bits != 8))
         jax.block_until_ready(params)
         log(f"params ready in {time.perf_counter()-t0:.1f}s; "
             f"weight bytes={tree_bytes(params)/1e9:.2f} GB")
@@ -564,7 +579,7 @@ def main():
             log(f"int8 params ready in {time.perf_counter()-t0:.1f}s; "
                 f"weight bytes={tree_bytes(params8)/1e9:.2f} GB")
             lines.append(run_decode_config(
-                cfg, params8,
+                cfg.replace(act_bits=0), params8,
                 batch=int(os.environ.get("BENCH_INT8_BATCH", "64")),
                 steps=steps, prompt_len=prompt_len, bits=8, kv_bits=16,
                 warmup=warmup, chunk=chunk, want_pumped=False))
@@ -597,8 +612,10 @@ def main():
             try:
                 moe_cfg = ModelConfig.from_pretrained(
                     "qwen3-30b-a3b").replace(
-                    num_layers=moe_layers, name=f"qwen3-30b-a3b-L{moe_layers}")
-                moe_params = build_params(moe_cfg, bits, gs, False)
+                    num_layers=moe_layers, name=f"qwen3-30b-a3b-L{moe_layers}",
+                    act_bits=act_bits)
+                moe_params = build_params(moe_cfg, bits, gs, False,
+                                          pad_free=(act_bits != 8))
                 jax.block_until_ready(moe_params)
                 log(f"moe params ready ({moe_layers} layers): "
                     f"{tree_bytes(moe_params)/1e9:.2f} GB")
