@@ -868,7 +868,7 @@ def forward_hidden(
                 cfg.num_experts_per_tok, cfg.norm_topk_prob, ep_axis,
                 use_quant_kernel=want_kernels and isinstance(
                     layers_all["moe_gate"], QuantLinear),
-                layer=l,
+                layer=l, act_bits=cfg.act_bits,
             ).reshape(B, T, -1).astype(x.dtype)
         elif cfg.is_moe:
             # stacked expert weights ride through unsliced; quantized

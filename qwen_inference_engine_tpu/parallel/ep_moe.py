@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 
 def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel,
-                    layer=None):
+                    layer=None, act_bits=0):
     """Grouped gate/up/silu/mul/down over expert-sorted rows (local shard:
     [E_loc, K, N] bf16 arrays / quantized stacks, or layer-stacked
     [L, E_loc, K, N] with ``layer`` a traced index)."""
@@ -56,11 +56,14 @@ def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel,
         if (grouped_quant_matmul_supported(w_gate, xs.shape[0])
                 and grouped_quant_matmul_supported(w_down, xs.shape[0])):
             lidx = layer if stacked else None
-            g = grouped_quant_matmul(xs, w_gate, group_sizes, lidx)
-            u = grouped_quant_matmul(xs, w_up, group_sizes, lidx)
+            g = grouped_quant_matmul(xs, w_gate, group_sizes, lidx,
+                                     act_bits=act_bits)
+            u = grouped_quant_matmul(xs, w_up, group_sizes, lidx,
+                                     act_bits=act_bits)
             mid = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
             return grouped_quant_matmul(mid.astype(xs.dtype), w_down,
-                                        group_sizes, lidx)
+                                        group_sizes, lidx,
+                                        act_bits=act_bits)
         # unsupported tiling: dequantize the local shard and fall back
         # (mirrors models.qwen._expert_matmul)
         import dataclasses as _dc
@@ -94,7 +97,8 @@ def _expert_compute(xs, w_gate, w_up, w_down, group_sizes, use_quant_kernel,
 def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
                  top_k: int, norm_topk: bool, axis: str,
                  use_quant_kernel: bool = False,
-                 ragged: bool | None = None, layer=None) -> jax.Array:
+                 ragged: bool | None = None, layer=None,
+                 act_bits: int = 0) -> jax.Array:
     """One expert-parallel MoE layer; call INSIDE jax.shard_map.
 
     h [N_loc, D] local tokens; router_w [D, E] replicated; w_gate/up
@@ -185,7 +189,7 @@ def ep_moe_layer(h: jax.Array, router_w: jax.Array, w_gate, w_up, w_down,
         recv[:, D], recv_sizes, M, e_loc)
     xs2 = jnp.take(recv[:, :D], order2, axis=0)
     y2 = _expert_compute(xs2, w_gate, w_up, w_down, gs2, use_quant_kernel,
-                         layer=layer)
+                         layer=layer, act_bits=act_bits)
     y_rx = jnp.zeros((P * M, D), y2.dtype).at[order2].set(y2)
 
     # --- 4. combine a2a (mirror of dispatch) ---
