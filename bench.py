@@ -521,6 +521,20 @@ def main():
         except Exception as e:  # keep the headline even if the extra fails
             log(f"absolute-config bench failed: {e!r}")
 
+    if (os.environ.get("BENCH_LONG_ROW", "0" if small else "1") == "1"
+            and not moe_only and not spec_only):
+        # best %%-of-roofline point (r5 sweep): longer context shifts
+        # step bytes toward the near-bandwidth KV stream — b80 x 2048
+        # measured vs_baseline 0.762 vs the b96 x 1408 headline's 0.745
+        # (the headline KEEPS the b96 config for cross-round continuity)
+        try:
+            lines.append(run_decode_config(
+                cfg, params, batch=80, steps=steps, prompt_len=2048,
+                bits=bits, kv_bits=kv_bits, warmup=warmup, chunk=chunk,
+                want_pumped=False))
+        except Exception as e:
+            log(f"long-context row failed: {e!r}")
+
     if want_spec and not moe_only:
         spec_kwargs = dict(
             batch=int(os.environ.get("BENCH_SPEC_BATCH", "16")),
