@@ -33,8 +33,10 @@ to real serving.
 Env overrides: BENCH_MODEL, BENCH_BATCH, BENCH_STEPS, BENCH_PROMPT,
 BENCH_BITS (4/8/16), BENCH_KV_BITS (8/16/32), BENCH_SMALL=1 (smoke mode),
 BENCH_ABS=0/1, BENCH_SPEC=0/1, BENCH_SPEC_DRAFT=self (adds the
-self-drafting full-acceptance ceiling row), BENCH_MOE=1 (+MOE_LAYERS,
-+MOE_BATCH: the 30B-A3B-shaped grouped-kernel row), BENCH_PLATFORM
+self-drafting full-acceptance ceiling row), BENCH_MOE=0/1 (+MOE_LAYERS,
++MOE_BATCH: the 30B-A3B-shaped grouped-kernel row; default on),
+BENCH_ACT_BITS=0/8 (W4A8, default 8 for INT4), BENCH_LONG_ROW=0/1
+(the b80x2048 long-context supporting row), BENCH_PLATFORM
 (pin the JAX platform in-process — honoured even where JAX_PLATFORMS is
 ignored by the axon site hook), BENCH_INIT_TIMEOUT (seconds before a
 hung backend init is declared tpu-unavailable; the bench then emits a
@@ -606,7 +608,7 @@ def main():
                 pass
             jax.clear_caches()
 
-    if os.environ.get("BENCH_MOE") == "1":
+    if os.environ.get("BENCH_MOE", "0" if small else "1") == "1":
         # Qwen3-30B-A3B-shaped MoE row (VERDICT r2 #2): the full model's
         # INT4 experts (~14.5 GB) exceed one v5e's HBM next to any KV, so
         # the row runs the exact per-layer shape at BENCH_MOE_LAYERS

@@ -45,9 +45,10 @@ class ModelConfig:
     # Runtime quantization knob (not architecture): 8 quantizes activations
     # per token in the transformer-block projections and runs integer MXU
     # dots against int4/int8 weights (W4A8/W8A8 — ops/quant_matmul.py).
-    # 0 = bf16 activations (weight-only quant).  lm_head stays bf16-input
-    # either way (logit fidelity).
+    # 0 = bf16 activations (weight-only quant).  The lm_head has its own
+    # knob (logit fidelity is sampling-critical, so it gates separately).
     act_bits: int = 0
+    act_bits_lm_head: int = 0
     # Qwen3-MoE (model_type qwen3_moe): num_experts == 0 means dense
     num_experts: int = 0
     num_experts_per_tok: int = 0

@@ -944,10 +944,16 @@ def forward_hidden(
     return x, new_cache
 
 
-def compute_logits(params: dict, hidden: jax.Array, use_pallas: bool = True) -> jax.Array:
-    """hidden [..., D] -> fp32 logits [..., V] (tied or untied head)."""
+def compute_logits(params: dict, hidden: jax.Array, use_pallas: bool = True,
+                   act_bits: int = 0) -> jax.Array:
+    """hidden [..., D] -> fp32 logits [..., V] (tied or untied head).
+
+    ``act_bits=8`` (cfg.act_bits_lm_head) runs the W4A8 logits GEMM —
+    per-token int8 hidden states; gated separately from the block
+    projections because logit error feeds sampling directly."""
     if "lm_head" in params:
-        logits = apply_linear(hidden, params["lm_head"], use_pallas)
+        logits = apply_linear(hidden, params["lm_head"], use_pallas,
+                              act_bits=act_bits)
     else:
         logits = jnp.dot(hidden, params["embed"].astype(hidden.dtype).T,
                          preferred_element_type=jnp.float32)
@@ -981,7 +987,8 @@ def prefill(
     )
     last_idx = (lengths - 1).astype(jnp.int32)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
-    return compute_logits(params, last_hidden, use_pallas), cache
+    return compute_logits(params, last_hidden, use_pallas,
+                          cfg.act_bits_lm_head), cache
 
 
 def prefill_chunked(
@@ -1068,7 +1075,8 @@ def prefill_chunked(
 
     (cache, hidden_last), _ = jax.lax.scan(
         body, (cache, hidden_last), jnp.arange(1, n_chunks, dtype=jnp.int32))
-    return compute_logits(params, hidden_last, use_pallas), cache
+    return compute_logits(params, hidden_last, use_pallas,
+                          cfg.act_bits_lm_head), cache
 
 
 def decode_step(
@@ -1090,7 +1098,8 @@ def decode_step(
         fresh_prefill=False, use_pallas=use_pallas, attn_impl=attn_impl,
         uniform_decode=uniform_decode, reduce_axis=reduce_axis,
     )
-    return compute_logits(params, hidden[:, 0], use_pallas), cache
+    return compute_logits(params, hidden[:, 0], use_pallas,
+                          cfg.act_bits_lm_head), cache
 
 
 def pumped_supported(cfg: ModelConfig, params: dict, cache, batch: int) -> bool:

@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: (a) reruns skip most of the ~40 min of
+# XLA:CPU compiles, (b) fewer in-process backend_compile calls — the
+# long-suite XLA:CPU compiler segfault (observed 3x at the ~90% mark,
+# always inside backend_compile_and_load; each crashing test passes in a
+# fresh process) has fewer chances to fire.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

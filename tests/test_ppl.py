@@ -89,6 +89,19 @@ def test_act_quant_ppl_delta(bits, limit):
     assert rel < limit, (base, a8, rel)
 
 
+def test_act_quant_lm_head_ppl_delta():
+    """W4A8 logits GEMM gate (cfg.act_bits_lm_head): quantizing the
+    lm_head input per token must stay in the quantized-lm-head accuracy
+    class."""
+    base = perplexity(PARAMS, CFG, TOKENS, seq_len=128)
+    qparams = quantize_params(
+        PARAMS, QuantConfig(bits=4, group_size=32, quantize_lm_head=True))
+    a8 = perplexity(qparams, CFG.replace(act_bits=8, act_bits_lm_head=8),
+                    TOKENS, seq_len=128)
+    rel = abs(a8 - base) / base
+    assert rel < 0.16, (base, a8, rel)
+
+
 @pytest.mark.parametrize("bits,limit", [(8, 0.03), (4, 0.15)])
 def test_quantized_moe_ppl_delta(bits, limit):
     """Δppl gate with the EXPERT stacks quantized too (quantize_params
