@@ -35,6 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the in-process XLA:CPU compiler state: the long suite
+    accumulates hundreds of compiled programs and the CPU compiler has
+    segfaulted (upstream, inside backend_compile_and_load) at the ~90%
+    mark on several runs while every crashing test passes in a fresh
+    process. Dropping jit caches between modules keeps the compiler's
+    working set (and any corrupted state) from accumulating; the
+    persistent on-disk cache makes re-compiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def devices8():
     devs = jax.devices()
