@@ -995,3 +995,31 @@ def test_mixed_chain_batch_matches_per_tick_step():
     got_cb.check_page_invariants()
     assert calls and max(calls) >= 2, calls  # multi-pair windows ran
     assert got == ref, (got, ref)
+
+
+def test_speculative_scheduler_moe_target_token_identical():
+    """PLD speculation with an MoE TARGET model: the verify forward
+    flattens [B, k+1] to B*(k+1) rows through the router and the grouped
+    expert path (models/qwen.py moe_mlp) — the M-fill lever docs/PERF.md
+    round-5 names for the per-expert pass waste. Spec serving must stay
+    token-identical to plain serving on the same MoE model."""
+    cfg = tiny_config(num_experts=8, num_experts_per_tok=2,
+                      moe_intermediate_size=64).replace(name="tiny-moe")
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    prompts = {0: [5, 9, 17, 3, 5, 9, 17, 3], 1: [40, 41, 42, 43]}
+
+    def run(spec):
+        cb = ContinuousBatchingEngine(
+            cfg, params, max_slots=2, page_size=8, num_pages=64,
+            max_pages_per_seq=16, sampling=GREEDY, kv_dtype=jnp.float32,
+            speculative=spec, spec_k=3, spec_ngram=2)
+        for rid, p in prompts.items():
+            cb.submit(Request(request_id=rid, prompt=p, max_new_tokens=16))
+        out = {f.request_id: f.token_ids for f in cb.run_to_completion()}
+        cb.check_page_invariants()
+        return out, cb.metrics.snapshot()
+
+    plain, _ = run(False)
+    spec, snap = run(True)
+    assert spec == plain, (spec, plain)
+    assert snap["spec_rounds"] > 0
