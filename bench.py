@@ -641,6 +641,18 @@ def main():
                     steps=max(16, steps // 2), prompt_len=512, bits=bits,
                     kv_bits=8, warmup=warmup, chunk=chunk,
                     want_pumped=False))
+                if os.environ.get("BENCH_MOE_SPEC") == "1":
+                    # speculation IS the MoE lever (verify M-fill: B*(k+1)
+                    # tokens/expert at a near-flat pass count) — measured
+                    # 1.45x plain on the chip (docs/PERF.md round-5 coda).
+                    # Default off: the MoE spec engine adds ~8 min of
+                    # compile to the battery; the probe + this flag keep
+                    # it reproducible.
+                    lines.append(run_spec_config(
+                        moe_cfg, moe_params,
+                        batch=int(os.environ.get("BENCH_MOE_BATCH", "32")),
+                        kv_bits=8, spec_k=4, page_size=512, period=48,
+                        reps=4, max_new=96))
                 break
             except Exception as e:
                 log(f"moe bench failed at {moe_layers} layers: {e!r}")
