@@ -7,12 +7,13 @@ device sees every layer). Serving instead batches requests into WAVES:
 
 * admit up to ``max_batch`` pending requests;
 * prefill them together (make_pp_forward_fn, ragged lengths);
-* decode: GREEDY waves whose prompts align to one length ride the
+* decode: FULL waves whose prompts align to one length ride the
   zero-bubble 1F1B microbatched pipeline (make_pp_decode_1f1b — one
-  token completes somewhere every tick in steady state); everything
-  else takes the per-tick pipeline forward with full per-row dynamic
-  sampling (temperature/top-p/top-k/penalties), ticks chained on device
-  with one host sync per ``step_batch`` window;
+  token completes somewhere every tick in steady state), with per-row
+  dynamic sampling AND repetition/presence penalties in-pipeline (the
+  seen mask is carried through the tick scan on stage 0); ragged or
+  partial waves take the per-tick pipeline forward, ticks chained on
+  device with one host sync per ``step_batch`` window;
 * a wave drains fully before the next admits (finished rows idle their
   lane — FIFO semantics, documented trade vs slot-level continuous
   batching).
@@ -180,15 +181,16 @@ class PPFifoScheduler:
             self._jit_cache[key] = jax.jit(fn, donate_argnums=(3, 6))
         return self._jit_cache[key]
 
-    def _jit_1f1b(self, steps: int, sampled: bool = False):
-        key = ("pp_1f1b", steps, sampled)
+    def _jit_1f1b(self, steps: int, sampled: bool = False,
+                  penalized: bool = False):
+        key = ("pp_1f1b", steps, sampled, penalized)
         if key not in self._jit_cache:
             stages = dict(self.mesh.shape)["stage"]
             self._jit_cache[key] = jax.jit(make_pp_decode_1f1b(
                 self.cfg, self.mesh, self.params, self._cache_tpl(),
                 microbatch_rows=self.max_batch // stages, steps=steps,
                 use_pallas=self.use_pallas, sampled=sampled,
-                k_cap=self.k_cap))
+                k_cap=self.k_cap, penalized=penalized))
         return self._jit_cache[key]
 
     def _cache_tpl(self):
@@ -299,14 +301,16 @@ class PPFifoScheduler:
                        self.max_seq - 1 - max(r["pos"] for r in live)))
         sp = self._sp_rows_d
         # 1F1B handles any per-row temp/top_p/top_k/greedy mix IN-PIPELINE
-        # (sample_rows on stage 0 between hops) but not penalties — those
-        # need the seen mask, which lives on the per-tick path; alignment
-        # and a full wave are required because microbatches share pos0
-        aligned = (
+        # (sample_rows on stage 0 between hops), and penalty rows ride it
+        # too by carrying the seen mask [M, b, V] through the tick scan
+        # (make_pp_decode_1f1b penalized=True — stage 0 marks each real
+        # emission before that microbatch's next sample). Alignment and a
+        # full wave are required because microbatches share pos0.
+        neutral = (
             bool(np.all(np.asarray(sp["repetition_penalty"]) == 1.0))
-            and bool(np.all(np.asarray(sp["presence_penalty"]) == 0.0))
-            and len({r["pos"] for r in live}) == 1
-            and len(live) == self.max_batch)
+            and bool(np.all(np.asarray(sp["presence_penalty"]) == 0.0)))
+        aligned = (len({r["pos"] for r in live}) == 1
+                   and len(live) == self.max_batch)
         all_greedy = bool(np.all(np.asarray(sp["greedy"])))
         t0 = time.perf_counter()
         if aligned:
@@ -316,7 +320,7 @@ class PPFifoScheduler:
             for r in live:
                 toks[r["slot"]] = r["last"]
             pos0 = np.full((stages,), live[0]["pos"], np.int32)
-            if all_greedy:
+            if all_greedy and neutral:
                 fn = self._jit_1f1b(n)
                 ys, self.cache = fn(self.params,
                                     jnp.asarray(toks.reshape(stages, b)),
@@ -325,11 +329,16 @@ class PPFifoScheduler:
                 rkey = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                           self._step_count)
                 sp_mb = {kk: vv.reshape(stages, b) for kk, vv in sp.items()}
-                fn = self._jit_1f1b(n, sampled=True)
-                ys, self.cache = fn(self.params,
-                                    jnp.asarray(toks.reshape(stages, b)),
-                                    jnp.asarray(pos0), self.cache,
-                                    rkey, sp_mb)
+                fn = self._jit_1f1b(n, sampled=True, penalized=not neutral)
+                args = (self.params, jnp.asarray(toks.reshape(stages, b)),
+                        jnp.asarray(pos0), self.cache, rkey, sp_mb)
+                if neutral:
+                    ys, self.cache = fn(*args)
+                else:
+                    V = self.cfg.vocab_size
+                    ys, self.cache, seen = fn(
+                        *args, self._seen.reshape(stages, b, V))
+                    self._seen = seen.reshape(self.max_batch, V)
             mat = np.asarray(ys).reshape(n, self.max_batch)
             self._step_count += n
         else:

@@ -187,7 +187,8 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                         steps: int, use_pallas: bool = False,
                         zero_copy_cache: bool | None = None,
                         sampled: bool = False, k_cap: int = 64,
-                        approx_top_k: bool = False):
+                        approx_top_k: bool = False,
+                        penalized: bool = False):
     """Returns ``fn(params, init_toks [M, b], init_pos [M], cache) ->
     (tokens [steps, M, b] int32, cache)`` — greedy decode of ``steps``
     tokens for every microbatch, pipelined across the stages.
@@ -197,9 +198,17 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
     (per-row temperature/top_p/top_k/greedy), and stage 0 runs
     ``sample_rows`` on each arriving microbatch between hops, so mixed
     stochastic waves ride the zero-bubble pipeline instead of paying the
-    full S-hop bubble per token (the per-tick sampled path). Penalty
-    rows (repetition/presence) are NOT supported here — they need the
-    seen mask, which stays on the per-tick path.
+    full S-hop bubble per token (the per-tick sampled path).
+
+    penalized=True (requires sampled): repetition/presence-penalty rows
+    ride the pipeline too — the fn takes one more arg ``seen [M, b, V]``
+    (bool, prompt+generated vocab mask) carried through the tick scan:
+    stage 0 samples each arriving microbatch against its slice of the
+    mask and marks the sampled token, so a row never waits for a host
+    round-trip to see its own history. Returns ``(tokens, cache, seen)``.
+    Only stage 0's mask trajectory is meaningful (other stages sample
+    garbage logits that never feed back); the scan output replicates
+    stage 0's mask the same way emitted tokens are replicated.
 
     zero_copy_cache (default: follow use_pallas): pass the FULL local
     cache into forward_hidden with ``cache_row0`` so the per-tick
@@ -212,6 +221,7 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
     if zero_copy_cache is None:
         zero_copy_cache = use_pallas
     assert supports_pp(cfg, params, stages)
+    assert not penalized or sampled, "penalized requires sampled=True"
     assert cache.k.shape[1] == M * b, (cache.k.shape, M, b)
     cfg_l = cfg.replace(num_layers=cfg.num_layers // stages)
     pspec = pp_param_pspecs(params)
@@ -221,12 +231,15 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
     from qwen_inference_engine_tpu.ops.norms import rms_norm
 
     def body(params_l, init_toks, init_pos, cache_l, rkey=None,
-             sp_dyn=None):
+             sp_dyn=None, seen0=None):
         sid = jax.lax.axis_index(STAGE_AXIS)
         D = cfg.hidden_size
 
         def tick(carry, t):
-            x, lc = carry
+            if penalized:
+                x, lc, sn = carry
+            else:
+                x, lc = carry
             m0 = jnp.mod(t, M)  # stage 0's microbatch (= (t - S) mod M)
 
             # ---- stage 0: finish the arriving stream, start the next ----
@@ -240,9 +253,22 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                 sp_m = jax.tree.map(
                     lambda a: jax.lax.dynamic_index_in_dim(
                         a, m0, 0, keepdims=False), sp_dyn)
-                new_tok = sample_rows(
-                    logits, jax.random.fold_in(rkey, t), k_cap=k_cap,
-                    approx_top_k=approx_top_k, seen_mask=None, **sp_m)
+                if penalized:
+                    seen_m = jax.lax.dynamic_index_in_dim(
+                        sn, m0, 0, keepdims=False)          # [b, V]
+                    new_tok = sample_rows(
+                        logits, jax.random.fold_in(rkey, t), k_cap=k_cap,
+                        approx_top_k=approx_top_k, seen_mask=seen_m, **sp_m)
+                    # mark only REAL emissions (warmup ticks sample
+                    # garbage logits that never feed back)
+                    upd = seen_m.at[jnp.arange(b), new_tok].set(True)
+                    seen_m = jnp.where(t >= stages, upd, seen_m)
+                    sn = jax.lax.dynamic_update_index_in_dim(
+                        sn, seen_m, m0, 0)
+                else:
+                    new_tok = sample_rows(
+                        logits, jax.random.fold_in(rkey, t), k_cap=k_cap,
+                        approx_top_k=approx_top_k, seen_mask=None, **sp_m)
             else:
                 new_tok = jnp.argmax(logits, -1).astype(jnp.int32)  # [b]
             tok = jnp.where(t < M,
@@ -286,27 +312,42 @@ def make_pp_decode_1f1b(cfg: ModelConfig, mesh: Mesh, params: dict,
                     lambda full, w: jax.lax.dynamic_update_slice_in_dim(
                         full, w, row0, axis=1), lc, win2)
             x = jax.lax.ppermute(hidden.astype(x.dtype), STAGE_AXIS, fwd)
+            if penalized:
+                return (x, lc, sn), emitted
             return (x, lc), emitted
 
         x0 = jnp.zeros((b, 1, D), params_l["embed"].dtype)
-        (x, cache_l), ys = jax.lax.scan(
-            tick, (x0, cache_l), jnp.arange(n_ticks))
+        carry0 = (x0, cache_l, seen0) if penalized else (x0, cache_l)
+        carry, ys = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
+        cache_l = carry[1]
         # ys are only meaningful on stage 0: replicate them
         ys = jax.lax.psum(jnp.where(sid == 0, ys, 0), STAGE_AXIS)
+        if penalized:
+            # same replication for the mask (non-0 stages marked garbage
+            # samples that never fed back)
+            seen = jax.lax.psum(
+                jnp.where(sid == 0, carry[2].astype(jnp.int8), 0),
+                STAGE_AXIS) > 0
+            return ys, cache_l, seen
         return ys, cache_l
 
     extra = (P(), P()) if sampled else ()
+    if penalized:
+        extra += (P(),)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspec, P(), P(), cspec) + extra,
-        out_specs=(P(), cspec),
+        out_specs=(P(), cspec) + ((P(),) if penalized else ()),
         check_vma=False,
     )
 
     def wrapped(params_s, init_toks, init_pos, cache_s, *rest):
-        ys, cache_s = fn(params_s, init_toks, init_pos, cache_s, *rest)
+        out = fn(params_s, init_toks, init_pos, cache_s, *rest)
+        ys, cache_s = out[0], out[1]
         # tick S + k·M + m completed token k of microbatch m
         idx = stages + jnp.arange(steps)[:, None] * M + jnp.arange(M)[None, :]
+        if penalized:
+            return ys[idx], cache_s, out[2]
         return ys[idx], cache_s
 
     return wrapped

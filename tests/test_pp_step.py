@@ -292,3 +292,49 @@ def test_pp_1f1b_sampled_waves(devices8):
         assert got1[rid] == ref[rid], (rid, got1[rid], ref[rid])
     for rid in (1, 3):
         assert len(got1[rid]) >= 1
+
+
+def test_pp_1f1b_penalized_waves(devices8):
+    """Penalty rows ride the 1F1B pipeline (the last per-tick-only class):
+    the seen mask is carried through the tick scan on stage 0, so greedy
+    rows with repetition/presence penalties must be token-identical to
+    the single-device scheduler's penalized output — and the penalized
+    1F1B jit entry (not the per-tick fallback) must have served them."""
+    from qwen_inference_engine_tpu.engine.pp_scheduler import PPFifoScheduler
+    from qwen_inference_engine_tpu.engine.scheduler import (
+        ContinuousBatchingEngine,
+        Request,
+    )
+    from qwen_inference_engine_tpu.ops.sampling import SamplingParams
+
+    cfg = tiny_config(num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    pen = SamplingParams(greedy=True, repetition_penalty=1e6,
+                         presence_penalty=0.5)
+    prompts = {i: [10 + i, 20 + i, 30 + i, 40 + i] for i in range(4)}
+
+    ref_cb = ContinuousBatchingEngine(
+        cfg, params, max_slots=4, page_size=8, num_pages=64,
+        max_pages_per_seq=8, sampling=pen, kv_dtype=jnp.float32,
+        prefix_cache=False)
+    for rid, p in prompts.items():
+        ref_cb.submit(Request(request_id=rid, prompt=p, max_new_tokens=8))
+    ref = {f.request_id: f.token_ids for f in ref_cb.run_to_completion()}
+
+    mesh = make_pp_mesh(devices=devices8[:4])
+    pp = PPFifoScheduler(cfg, params, mesh=mesh, max_batch=4, max_seq=64,
+                         kv_dtype=jnp.float32, sampling=pen)
+    for rid, p in prompts.items():
+        pp.submit(Request(request_id=rid, prompt=p, max_new_tokens=8))
+    got = {f.request_id: f.token_ids for f in pp.run_to_completion()}
+    assert any(k[0] == "pp_1f1b" and len(k) == 4 and k[3]
+               for k in pp._jit_cache), "penalized 1F1B path did not engage"
+    assert got == ref, (got, ref)
+    # the penalty actually bit: no generated token repeats prompt/history
+    for rid, toks in got.items():
+        seen = set(prompts[rid])
+        for t in toks:
+            if t in cfg.eos_token_ids:
+                break
+            assert t not in seen, (rid, toks)
+            seen.add(t)
